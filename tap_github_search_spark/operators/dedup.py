@@ -1,0 +1,110 @@
+"""Last-writer-wins dedup over the change stream.
+
+Semantics (FIXTURES.md §2, north_star): for each ``(conv_id, turn_idx)``
+key the winning event is the one with max ``(ts, seq)``; a winning
+``op='D'`` means the key is absent from the final table. Deletes are
+ranked *together* with inserts/updates — a delete is an event, not an
+absorbing state (SURVEY.md §7.4: getting this wrong silently resurrects
+rows).
+
+Reference analog: bookmark advances to max(replication_key) over emitted
+records (/root/reference/tap_github/tests/test_tap.py:150-161); newest
+row wins on replay because the Singer target upserts by primary key.
+
+Implementation notes (scale):
+ - The default path is a **hash aggregation** ``max(struct(ts, seq,
+   payload...))``, not a window. A window needs a full shuffle + sort and
+   puts every event of a hot conversation in one task; the aggregate gets
+   map-side partial combine for free, so a conv_id with 10^6 duplicate
+   events collapses to ~one row per upstream partition before the
+   shuffle. This is the skew-proof plan at 10^10 events.
+ - ``lww_winners_salted`` demonstrates the explicit two-stage
+   salted variant the north_rule asks for; with partial aggregation the
+   unsalted plan is already equivalent, so salting is exposed for the
+   window-based path and for demonstration/verification.
+ - struct comparison is lexicographic, and ``seq`` is unique per event,
+   so the winner is deterministic; exact duplicate deliveries (same seq)
+   are byte-identical and collapse harmlessly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schema import LWW_ORDER, MERGE_KEYS
+
+
+def lww_winners(
+    df: DataFrame,
+    keys: tuple[str, ...] = MERGE_KEYS,
+    order: tuple[str, ...] = LWW_ORDER,
+) -> DataFrame:
+    """One row per key: the max-(ts,seq) event, all columns preserved.
+
+    Agg-based (partial-combine-friendly); output column order matches
+    the input.
+    """
+    payload = [c for c in df.columns if c not in keys and c not in order]
+    packed = F.max(F.struct(*[F.col(c) for c in order],
+                            *[F.col(c) for c in payload])).alias("_w")
+    out = df.groupBy(*keys).agg(packed)
+    return out.select(
+        *[F.col(f"_w.{c}").alias(c) if c not in keys else F.col(c)
+          for c in df.columns]
+    )
+
+
+def lww_winners_window(
+    df: DataFrame,
+    keys: tuple[str, ...] = MERGE_KEYS,
+    order: tuple[str, ...] = LWW_ORDER,
+) -> DataFrame:
+    """row_number()-based variant (the classic MERGE-dedup form; same
+    result, used to cross-check the agg path in tests)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lww_winners_salted(
+    df: DataFrame,
+    keys: tuple[str, ...] = MERGE_KEYS,
+    order: tuple[str, ...] = LWW_ORDER,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Explicit two-stage salted reduction for hot keys (north_rule's
+    'conv_id salting handles hot-conversation skew').
+
+    Stage 1 reduces each (key, salt) shard independently — a hot
+    conversation's events spread over ``n_salts`` tasks — stage 2 merges
+    the ≤n_salts shard winners per key. Salt is derived from ``seq`` so
+    it is deterministic and uniform.
+    """
+    payload = [c for c in df.columns if c not in keys and c not in order]
+    packed = F.max(F.struct(*[F.col(c) for c in order],
+                            *[F.col(c) for c in payload])).alias("_w")
+    stage1 = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order]),
+                                      F.lit(n_salts)))
+        .groupBy(*keys, "_salt")
+        .agg(packed)
+    )
+    stage2 = stage1.groupBy(*keys).agg(F.max("_w").alias("_w"))
+    return stage2.select(
+        *[F.col(f"_w.{c}").alias(c) if c not in keys else F.col(c)
+          for c in df.columns]
+    )
+
+
+def final_state(
+    df: DataFrame,
+    keys: tuple[str, ...] = MERGE_KEYS,
+    order: tuple[str, ...] = LWW_ORDER,
+) -> DataFrame:
+    """Replay semantics in one shot: winners minus keys whose winner is a
+    delete. This is the batch-replay oracle shape (no table involved)."""
+    return lww_winners(df, keys, order).filter(F.col("op") != "D")

@@ -1,0 +1,273 @@
+"""Deterministic synthetic CDC changelog generator.
+
+Produces the WAL of transcript change events described in FIXTURES.md §1:
+ordered I/U/D events over ``(conv_id, turn_idx)`` keys with
+
+ - zipf-skewed mutation targets (hot conversations → exercises salting),
+ - out-of-order event time for a known fraction (``ts`` decoupled from ``seq``),
+ - exact duplicate deliveries at a known rate (at-least-once),
+ - NUL bytes and mixed NFC/NFD Unicode in a known fraction of ``text``
+   (reference analog: NUL-strip post-processing,
+   /root/reference/tap_github/repository_streams.py:884-900),
+ - optional late-appearing columns (``tool_version``, ``lang``) for the
+   schema-evolution fixture (FIXTURES.md §3).
+
+Everything is a pure function of ``seed`` built from Spark column
+expressions (``xxhash64`` keyed derivation) — no wall clock, no driver
+loops, no Python UDFs — so generation itself distributes across
+executors and scales linearly with cores. ``seq`` is unique and defines
+the log's total order; inserts occupy ``[0, n_convs*TURN_SPAN)`` and
+mutations follow, so replaying in seq order is causally sane while
+``ts`` carries the disorder.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 42
+TURN_SPAN = 512  # must exceed max turns per conversation (bounded at 266)
+BASE_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
+
+_WORDS = [
+    "the", "model", "agent", "tool", "call", "search", "result", "用户",
+    "query", "spark", "merge", "turn", "context", "answer", "code",
+    "naïve", "data", "plan", "token", "stream", "épée", "check",
+    "state", "reply",
+]
+
+
+def _h(name: str, *cols, seed: int = SEED):
+    """Keyed 64-bit hash column; distinct ``name`` decorrelates uses."""
+    return F.xxhash64(F.lit(seed), F.lit(name), *cols)
+
+
+def _pm(name: str, mod: int, *cols, seed: int = SEED):
+    return F.pmod(_h(name, *cols, seed=seed), F.lit(mod))
+
+
+def _n_turns_expr(conv_num, n_convs: int, seed: int):
+    """Turns per conversation: short head, geometric-ish tail, plus a
+    0.1% hot-conversation band with ~200 extra turns (zipf skew)."""
+    base = F.lit(2) + _pm("nt1", 6, conv_num, seed=seed)
+    long_tail = F.when(
+        _pm("nt2", 100, conv_num, seed=seed) < 8,
+        _pm("nt3", 60, conv_num, seed=seed),
+    ).otherwise(F.lit(0))
+    hot = F.when(
+        conv_num < F.lit(max(1, n_convs // 1000)), F.lit(200)
+    ).otherwise(F.lit(0))
+    return (base + long_tail + hot).cast("int")
+
+
+def _payload_cols(df: DataFrame, seed: int, evolved: bool) -> DataFrame:
+    """role/text/tool (+ evolved extras) as deterministic functions of
+    (conv_num, turn_idx, seq). Updates (new seq) therefore change text."""
+    c, t, s = F.col("conv_num"), F.col("turn_idx"), F.col("seq")
+    role = F.elt(
+        _pm("role", 10, c, t, seed=seed) + 1,
+        F.lit("user"), F.lit("assistant"), F.lit("user"), F.lit("assistant"),
+        F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("assistant"),
+        F.lit("system"), F.lit("user"),
+    )
+    words = [F.lit(w) for w in _WORDS]
+    n_words = F.lit(5) + _pm("len", 20, c, t, s, seed=seed)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), n_words),
+            lambda w: F.elt(
+                F.pmod(F.xxhash64(F.lit(seed), F.lit("w"), c, t, s, w),
+                       F.lit(len(_WORDS))) + 1,
+                *words,
+            ),
+        ),
+    )
+    # Dirty-text injections: NUL mid-string; NFD vs NFC 'café'.
+    text = F.when(
+        _pm("nul", 100, s, seed=seed) < 4, F.concat(text, F.lit("\x00tail"))
+    ).otherwise(text)
+    text = F.when(
+        # NFD (e+combining acute) vs NFC below; normalize() equates them.
+        _pm("nfd", 100, s, seed=seed) < 4, F.concat(text, F.lit(" cafe\u0301"))
+    ).when(
+        _pm("nfd", 100, s, seed=seed) < 8, F.concat(text, F.lit(" caf\u00e9"))
+    ).otherwise(text)
+
+    df = df.withColumn("role", role).withColumn("text", text)
+    df = df.withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "tool",
+            F.elt(_pm("tool", 4, c, t, seed=seed) + 1,
+                  F.lit("search"), F.lit("python"),
+                  F.lit("browser"), F.lit("editor")),
+        ).otherwise(F.lit(None).cast("string")),
+    )
+    if evolved:
+        df = df.withColumn(
+            "tool_version",
+            F.when(
+                F.col("tool").isNotNull(),
+                F.concat(F.lit("1."), _pm("tv", 9, s, seed=seed).cast("string")),
+            ).otherwise(F.lit(None).cast("string")),
+        ).withColumn(
+            "lang",
+            F.elt(_pm("lang", 4, c, seed=seed) + 1,
+                  F.lit("en"), F.lit("en"), F.lit("fr"), F.lit("zh")),
+        )
+    return df
+
+
+def changelog_df(
+    spark: SparkSession,
+    n_convs: int,
+    seed: int = SEED,
+    mutations_per_conv: float = 4.0,
+    delete_pct: int = 15,      # % of mutations that are deletes
+    out_of_order_pct: int = 20,  # % of mutations with ts pulled earlier
+    duplicate_pct: int = 3,    # % of events delivered twice
+    evolved: bool = False,
+    seq_offset: int = 0,
+) -> DataFrame:
+    """Build the changelog as a DataFrame (not yet written)."""
+    ins_span = n_convs * TURN_SPAN
+
+    convs = spark.range(n_convs).select(F.col("id").alias("conv_num"))
+    convs = convs.withColumn("n_turns", _n_turns_expr(F.col("conv_num"), n_convs, seed))
+
+    inserts = (
+        convs.select(
+            "conv_num",
+            F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+        )
+        .withColumn("seq", (F.col("conv_num") * TURN_SPAN + F.col("turn_idx")
+                            + F.lit(seq_offset)).cast("long"))
+        .withColumn("op", F.lit("I"))
+    )
+
+    n_mut = int(n_convs * mutations_per_conv)
+    mut = spark.range(n_mut).select(F.col("id").alias("mid"))
+    # zipf-ish target pick: u^2.5 concentrates mutations on low conv ids.
+    u = _pm("mc", 1_000_000, F.col("mid"), seed=seed) / F.lit(1_000_000.0)
+    conv_num = F.least(
+        F.floor(F.lit(float(n_convs)) * F.pow(u, F.lit(2.5))).cast("long"),
+        F.lit(n_convs - 1),
+    )
+    mut = mut.withColumn("conv_num", conv_num)
+    mut = mut.withColumn("n_turns", _n_turns_expr(F.col("conv_num"), n_convs, seed))
+    mut = (
+        mut.withColumn(
+            "turn_idx",
+            F.pmod(_h("mt", F.col("mid"), seed=seed), F.col("n_turns")).cast("int"),
+        )
+        .withColumn("seq", (F.lit(ins_span + seq_offset) + F.col("mid")).cast("long"))
+        .withColumn(
+            "op",
+            F.when(_pm("mo", 100, F.col("mid"), seed=seed) < delete_pct,
+                   F.lit("D")).otherwise(F.lit("U")),
+        )
+        .drop("mid", "n_turns")
+    )
+
+    events = inserts.select("conv_num", "turn_idx", "seq", "op").unionByName(
+        mut.select("conv_num", "turn_idx", "seq", "op")
+    )
+    events = events.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    # Event time: seq-aligned seconds from BASE_EPOCH, with a fraction of
+    # mutations pulled up to ~5.8 days earlier (out-of-order delivery).
+    ts_sec = F.lit(BASE_EPOCH) + F.col("seq") - F.lit(seq_offset)
+    ts_sec = F.when(
+        (F.col("op") != "I") & (_pm("ooo", 100, F.col("seq"), seed=seed)
+                                < out_of_order_pct),
+        ts_sec - _pm("oooamt", 500_000, F.col("seq"), seed=seed),
+    ).otherwise(ts_sec)
+    events = events.withColumn("ts", F.timestamp_seconds(ts_sec))
+
+    events = _payload_cols(events, seed, evolved)
+    events = events.withColumn(
+        "conv_id", F.format_string("conv_%08d", F.col("conv_num"))
+    ).drop("conv_num")
+
+    # At-least-once: exact duplicate deliveries (same seq, same payload).
+    dups = events.filter(_pm("dup", 100, F.col("seq"), seed=seed) < duplicate_pct)
+    events = events.unionByName(dups)
+
+    cols = ["seq", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if evolved:
+        cols += ["tool_version", "lang"]
+    return events.select(*cols)
+
+
+def write_changelog(
+    spark: SparkSession,
+    out_dir: str,
+    n_convs: int,
+    n_files: int = 8,
+    seed: int = SEED,
+    evolved: bool = False,
+    seq_offset: int = 0,
+    **kwargs,
+) -> str:
+    """Write the changelog as ``n_files`` seq-ranged parquet chunks so a
+    streaming file source consumes them as ordered microbatches
+    (FIXTURES.md §1 'seq-ranged chunks')."""
+    df = changelog_df(
+        spark, n_convs, seed=seed, evolved=evolved, seq_offset=seq_offset, **kwargs
+    )
+    (
+        df.repartitionByRange(n_files, "seq")
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+# --- scale-factor convention -------------------------------------------------
+# sf → n_convs so that event counts track FIXTURES.md §7:
+#   sf0.001 ≈ 1.2e4 (smoke) · sf0.01 ≈ 1.2e5 (oracle) · sf0.1 ≈ 1.2e6 (bench)
+CONVS_PER_SF = 800_000
+
+DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "data", "cdc")
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    """Parse 0.01 from '/root/testdata/sf0.01'."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.removeprefix("sf"))
+
+
+def changelog_dir(sf: float) -> str:
+    return os.path.join(DATA_ROOT, f"sf{sf:g}", "changelog")
+
+
+def evolved_dir(sf: float) -> str:
+    return os.path.join(DATA_ROOT, f"sf{sf:g}", "changelog_evolved")
+
+
+def ensure_changelog(spark: SparkSession, sf: float) -> str:
+    """Generate (once) and return the changelog dir for a scale factor.
+
+    The evolved segment continues the main log's seq space, so the two
+    directories together form one consistent WAL.
+    """
+    def _has_parquet(d: str) -> bool:
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+    n_convs = max(64, int(sf * CONVS_PER_SF))
+    out = changelog_dir(sf)
+    if not _has_parquet(out):
+        write_changelog(spark, out, n_convs)
+    out2 = evolved_dir(sf)
+    if not _has_parquet(out2):
+        write_changelog(
+            spark, out2, max(16, n_convs // 8), n_files=2, evolved=True,
+            seq_offset=n_convs * TURN_SPAN * 2,
+        )
+    return out

@@ -1,0 +1,152 @@
+"""Ingest pipelines: batch replay and Structured Streaming tail.
+
+Lifecycle (SURVEY.md §3.4):
+  discover (schema over log files) → plan (normalize → salt-free hash-agg
+  dedup) → execute per microbatch inside ``foreachBatch`` (epoch fence →
+  LWW dedup → bucketed CoW MERGE → lineage+metrics in the same commit) →
+  resume (checkpoint replays the last batch; the fence makes it a no-op).
+
+Reference analogs:
+ - replication-key resume: /root/reference/tap_github/client.py:165-191
+   → Structured Streaming file-source offsets in the checkpoint.
+ - bookmark finalization: /root/reference/tap_github/tests/test_tap.py:141-161
+   → ``last_committed_epoch`` in the MicroLake manifest.
+ - quota backpressure: /root/reference/tap_github/authenticator.py:343-358
+   → ``maxFilesPerTrigger``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.normalize import normalized
+from ..table.microlake import MergeResult, MicroLakeTable
+from ..schema import TRANSCRIPT_SCHEMA
+
+
+def discover_schema(spark: SparkSession, *log_dirs: str) -> T.StructType:
+    """Schema discovery over the event-log files (union of all file
+    schemas). Reference analog: ``--discover`` catalog emission
+    (/root/reference/tap_github/tap.py:137-160)."""
+    return spark.read.option("mergeSchema", "true").parquet(*log_dirs).schema
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Vectorized text normalization at ingest; all other columns pass
+    through untouched. No per-row Python anywhere (input_hint)."""
+    if "text" in df.columns:
+        df = df.withColumn("text", normalized("text"))
+    return df
+
+
+def table_schema_for(log_schema: T.StructType) -> T.StructType:
+    """Payload schema = log schema minus WAL columns (op, seq), keeping
+    any extra evolved columns."""
+    drop = {"op", "seq"}
+    base = [f for f in log_schema.fields if f.name not in drop]
+    # stable order: core transcript columns first, evolved extras after
+    core = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    ordered = [f for name in core for f in base if f.name == name]
+    ordered += [f for f in base if f.name not in core]
+    return T.StructType(ordered)
+
+
+# ---------------------------------------------------------------- batch
+
+def replay(
+    spark: SparkSession,
+    log_dirs: list[str],
+    table_path: str,
+    n_buckets: int = 64,
+    n_epochs: int = 1,
+) -> tuple[MicroLakeTable, list[MergeResult]]:
+    """Batch-replay the whole WAL into a fresh-or-existing table.
+
+    ``n_epochs > 1`` splits the log into seq-ranged slices applied as
+    separate commits — the batch twin of microbatching, used by tests to
+    exercise multi-epoch MERGE/fence paths deterministically.
+    """
+    schema = discover_schema(spark, *log_dirs)
+    table = MicroLakeTable.create_or_load(
+        spark, table_path, table_schema_for(schema), n_buckets=n_buckets
+    )
+    log = spark.read.option("mergeSchema", "true").parquet(*log_dirs)
+    log = normalize_events(log)
+
+    results: list[MergeResult] = []
+    if n_epochs <= 1:
+        results.append(table.merge(log, epoch=table.last_committed_epoch + 1))
+        return table, results
+
+    lo, hi = log.select(F.min("seq"), F.max("seq")).first()
+    step = max(1, (int(hi) - int(lo) + 1) // n_epochs)
+    for i in range(n_epochs):
+        a = int(lo) + i * step
+        b = int(hi) + 1 if i == n_epochs - 1 else a + step
+        part = log.filter((F.col("seq") >= a) & (F.col("seq") < b))
+        results.append(table.merge(part, epoch=table.last_committed_epoch + 1))
+    return table, results
+
+
+# ------------------------------------------------------------- streaming
+
+def stream(
+    spark: SparkSession,
+    log_dirs: list[str],
+    table_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    max_files_per_trigger: int | None = 2,
+    available_now: bool = True,
+    fail_after_batches: int | None = None,
+):
+    """Tail the WAL with a file streaming source and MERGE each
+    microbatch. ``foreachBatch(batchId)`` is the commit epoch; Spark
+    re-delivers the in-flight batch on restart and the manifest fence
+    makes the replay a no-op (exactly-once).
+
+    ``fail_after_batches`` injects a mid-stream crash for resumability
+    tests (FIXTURES.md §4).
+    """
+    schema = discover_schema(spark, *log_dirs)
+    table = MicroLakeTable.create_or_load(
+        spark, table_path, table_schema_for(schema), n_buckets=n_buckets
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # one source per dir, unioned: a single glob would tie the dirs'
+    # schemas; explicit union keeps each dir readable under the superset
+    src = None
+    for d in log_dirs:
+        part = reader.parquet(d)
+        for fld in schema.fields:
+            if fld.name not in part.columns:
+                part = part.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        part = part.select(*[f.name for f in schema.fields])
+        src = part if src is None else src.unionByName(part)
+
+    seen = {"n": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge(normalize_events(batch_df), epoch=batch_id)
+        seen["n"] += 1
+        if fail_after_batches is not None and seen["n"] >= fail_after_batches:
+            raise RuntimeError("injected failure for resumability test")
+
+    writer = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return table

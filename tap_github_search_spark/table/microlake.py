@@ -1,0 +1,396 @@
+"""MicroLake — a from-scratch Iceberg-semantics lake table over Parquet.
+
+The sandbox has no network, so the real ``iceberg-spark-runtime`` jar
+cannot be fetched (SURVEY.md §7.0); MicroLake supplies the same
+transactional contract behind an interface an Iceberg adapter can
+implement 1:1 on a real cluster (SURVEY.md §7.2 step 3):
+
+ - **Snapshot isolation**: every commit writes an immutable manifest
+   (JSON list of data files + schema + epoch) and atomically swaps the
+   ``_current`` pointer via ``os.replace``. Readers resolve the pointer
+   once; concurrent commits never corrupt a snapshot. Time travel =
+   reading an older manifest.
+ - **Bucketed copy-on-write MERGE**: data files are hash-bucketed by
+   ``conv_id`` (Iceberg's ``bucket(N, conv_id)`` partition spec). A merge
+   rewrites only the buckets the incoming batch touches, so per-batch
+   cost is proportional to touched data, not table size — the property
+   that keeps 10^10-event replay feasible. Bucketing conv_id also makes
+   the MERGE shuffle storage-aligned (SPJ-shaped, SURVEY.md §7.4).
+ - **Exactly-once**: ``last_committed_epoch`` lives inside the manifest;
+   ``merge(batch, epoch)`` is a no-op when ``epoch`` was already
+   committed. Lineage and metrics for the epoch are recorded in the same
+   manifest, so data+lineage commit atomically (SURVEY.md §7.4).
+ - **Schema evolution**: the manifest schema is authoritative; new
+   nullable batch columns trigger an implicit ADD COLUMN. Old files are
+   read with the evolved schema and missing columns surface as NULL
+   (Iceberg's read-time projection semantics).
+ - **Deletes as tombstones**: a winning ``op='D'`` keeps a tombstone row
+   (``_deleted=true``) so late events older than the delete cannot
+   resurrect the key; readers filter tombstones. (Equivalent to Iceberg
+   equality deletes + eventual compaction.)
+
+Reference analogs: Singer's at-least-once + PK-idempotent target
+(/root/reference/tap_github_search/search_count_streams.py:42) becomes
+the epoch fence; the bookmark dict
+(search_count_streams.py:147-152) becomes the manifest epoch + lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import lww_winners
+from ..schema import LWW_ORDER, MERGE_KEYS
+
+META_COLS = ("_seq", "_deleted", "_bucket")
+
+
+@dataclass
+class MergeResult:
+    epoch: int
+    skipped: bool = False
+    events_in: int = 0
+    rows_applied: int = 0
+    rows_deleted: int = 0
+    buckets_touched: int = 0
+    merge_ms: int = 0
+    lineage: list[dict] = field(default_factory=list)
+
+
+class MicroLakeTable:
+    """One keyed upsert table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+
+    # ---------------- lifecycle ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 64,
+        keys: tuple[str, ...] = MERGE_KEYS,
+    ) -> "MicroLakeTable":
+        os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "last_committed_epoch": -1,
+            "n_buckets": n_buckets,
+            "keys": list(keys),
+            "schema": schema.jsonValue(),
+            "files": [],
+            "lineage": [],
+            "metrics": [],
+        }
+        table = cls(spark, path, manifest)
+        table._commit_manifest(manifest)
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, version: int | None = None
+             ) -> "MicroLakeTable":
+        if version is None:
+            with open(os.path.join(path, "_current")) as f:
+                name = f.read().strip()
+        else:
+            name = f"manifest-{version:08d}.json"
+        with open(os.path.join(path, "_manifests", name)) as f:
+            return cls(spark, path, json.load(f))
+
+    @classmethod
+    def create_or_load(cls, spark, path, schema, **kw) -> "MicroLakeTable":
+        if os.path.exists(os.path.join(path, "_current")):
+            return cls.load(spark, path)
+        return cls.create(spark, path, schema, **kw)
+
+    # ---------------- properties ----------------
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest["schema"])
+
+    @property
+    def keys(self) -> tuple[str, ...]:
+        return tuple(self.manifest["keys"])
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest["n_buckets"]
+
+    @property
+    def last_committed_epoch(self) -> int:
+        return self.manifest["last_committed_epoch"]
+
+    # ---------------- read paths ----------------
+
+    def _bucket_expr(self, col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
+
+    def _read_files(self, files: list[dict]) -> DataFrame:
+        """Read data files under the *current* schema; columns added after
+        a file was written surface as NULL (schema-evolution read)."""
+        meta_schema = T.StructType(
+            list(self.schema.fields)
+            + [T.StructField("_seq", T.LongType()),
+               T.StructField("_deleted", T.BooleanType())]
+        )
+        if not files:
+            return self.spark.createDataFrame([], meta_schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for fld in meta_schema.fields:
+            if fld.name not in df.columns:
+                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        return df.select(*[f.name for f in meta_schema.fields])
+
+    def raw_df(self) -> DataFrame:
+        """All live + tombstone rows with engine metadata."""
+        return self._read_files(self.manifest["files"])
+
+    def snapshot_df(self) -> DataFrame:
+        """User-facing table state: live rows, payload columns only."""
+        return (
+            self.raw_df()
+            .filter(~F.col("_deleted"))
+            .select(*[f.name for f in self.schema.fields])
+        )
+
+    # ---------------- schema evolution ----------------
+
+    def _evolve_schema(self, batch_schema: T.StructType) -> list[T.StructField]:
+        """Diff incoming payload columns against the table schema; returns
+        the ADD COLUMN plan (applied at commit). Reference analog:
+        discovered dynamic schema → catalog
+        (/root/reference/tap_github/organization_streams.py:912-1058)."""
+        existing = {f.name for f in self.schema.fields}
+        skip = set(("op",) + LWW_ORDER) | set(META_COLS)
+        added = [
+            T.StructField(f.name, f.dataType, nullable=True)
+            for f in batch_schema.fields
+            if f.name not in existing and f.name not in skip
+        ]
+        return added
+
+    # ---------------- MERGE ----------------
+
+    def merge(self, batch_df: DataFrame, epoch: int) -> MergeResult:
+        """Apply one changelog batch with MERGE semantics, exactly once.
+
+        Equivalent Iceberg SQL (SURVEY.md §2.7 J5)::
+
+            MERGE INTO t USING (LWW-deduped batch) s
+              ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+              WHEN MATCHED AND s.op = 'D' THEN DELETE
+              WHEN MATCHED AND (s.ts, s.seq) > (t.ts, t._seq) THEN UPDATE SET *
+              WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
+
+        plus tombstone retention for the DELETE branch.
+        """
+        t0 = time.monotonic()
+        if epoch <= self.last_committed_epoch:
+            return MergeResult(epoch=epoch, skipped=True)
+
+        events_in = batch_df.count()
+        if events_in == 0:
+            self._commit(epoch, [], [], {
+                "commit_epoch": epoch, "events_in": 0, "events_deduped": 0,
+                "merge_ms": 0, "throughput_eps": 0.0,
+            })
+            return MergeResult(epoch=epoch)
+
+        added = self._evolve_schema(batch_df.schema)
+        evolved = T.StructType(list(self.schema.fields) + added)
+        payload_names = [f.name for f in evolved.fields]
+
+        # 1. Within-batch LWW dedup (map-side-combinable hash agg).
+        winners = lww_winners(batch_df, keys=self.keys, order=LWW_ORDER)
+        for fld in evolved.fields:  # align batch to evolved schema
+            if fld.name not in winners.columns:
+                winners = winners.withColumn(fld.name,
+                                             F.lit(None).cast(fld.dataType))
+        winners = winners.select("op", "seq", *payload_names).withColumn(
+            "_bucket", self._bucket_expr(self.keys[0])
+        )
+        winners = winners.persist()
+
+        # 2. Per-bucket lineage (≤ n_buckets rows — safe to collect).
+        lin_rows = [
+            r.asDict()
+            for r in winners.groupBy("_bucket")
+            .agg(
+                F.min("seq").alias("seq_min"),
+                F.max("seq").alias("seq_max"),
+                F.count(F.when(F.col("op") != "D", 1)).alias("rows_applied"),
+                F.count(F.when(F.col("op") == "D", 1)).alias("rows_deleted"),
+            )
+            .collect()
+        ]
+        affected = sorted(r["_bucket"] for r in lin_rows)
+
+        # 3. Copy-on-write: read ONLY affected buckets, merge, rewrite them.
+        old_files = [f for f in self.manifest["files"] if f["bucket"] in set(affected)]
+        target = self._read_files(old_files)
+        target_ev = target.select(
+            F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("_seq").alias("seq"),
+            *payload_names,
+        ).withColumn("_bucket", self._bucket_expr(self.keys[0]))
+
+        merged = lww_winners(
+            winners.unionByName(target_ev), keys=self.keys, order=LWW_ORDER
+        )
+        store = merged.select(
+            *payload_names,
+            F.col("seq").alias("_seq"),
+            (F.col("op") == "D").alias("_deleted"),
+            F.col("_bucket"),
+        )
+
+        epoch_dir = os.path.join(self.path, "data", f"epoch={epoch}")
+        (
+            store.repartition(max(1, len(affected)), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(epoch_dir)
+        )
+        winners.unpersist()
+
+        new_files = self._list_epoch_files(epoch)
+        keep = [f for f in self.manifest["files"] if f["bucket"] not in set(affected)]
+
+        rows_applied = sum(r["rows_applied"] for r in lin_rows)
+        rows_deleted = sum(r["rows_deleted"] for r in lin_rows)
+        merge_ms = int((time.monotonic() - t0) * 1000)
+        lineage = [
+            {
+                "commit_epoch": epoch,
+                "partition_id": int(r["_bucket"]),
+                "seq_min": int(r["seq_min"]),
+                "seq_max": int(r["seq_max"]),
+                "rows_applied": int(r["rows_applied"]),
+                "rows_deleted": int(r["rows_deleted"]),
+                "committed_at": _utcnow_iso(),
+            }
+            for r in lin_rows
+        ]
+        metrics = {
+            "commit_epoch": epoch,
+            "events_in": int(events_in),
+            "events_deduped": int(rows_applied + rows_deleted),
+            "merge_ms": merge_ms,
+            "throughput_eps": (events_in * 1000.0 / merge_ms) if merge_ms else 0.0,
+        }
+        self._commit(epoch, keep + new_files, lineage, metrics, evolved)
+        return MergeResult(
+            epoch=epoch,
+            events_in=events_in,
+            rows_applied=rows_applied,
+            rows_deleted=rows_deleted,
+            buckets_touched=len(affected),
+            merge_ms=merge_ms,
+            lineage=lineage,
+        )
+
+    # ---------------- commit machinery ----------------
+
+    def _list_epoch_files(self, epoch: int) -> list[dict]:
+        epoch_dir = os.path.join(self.path, "data", f"epoch={epoch}")
+        out: list[dict] = []
+        if not os.path.isdir(epoch_dir):
+            return out
+        for bdir in sorted(os.listdir(epoch_dir)):
+            if not bdir.startswith("_bucket="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            for fn in sorted(os.listdir(os.path.join(epoch_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    out.append(
+                        {
+                            "path": os.path.join("data", f"epoch={epoch}", bdir, fn),
+                            "bucket": bucket,
+                        }
+                    )
+        return out
+
+    def _commit(
+        self,
+        epoch: int,
+        files: list[dict],
+        lineage: list[dict],
+        metrics: dict,
+        evolved_schema: T.StructType | None = None,
+    ) -> None:
+        m = dict(self.manifest)
+        m["version"] = self.manifest["version"] + 1
+        m["last_committed_epoch"] = epoch
+        m["files"] = files
+        if evolved_schema is not None:
+            m["schema"] = evolved_schema.jsonValue()
+        m["lineage"] = self.manifest["lineage"] + lineage
+        m["metrics"] = self.manifest["metrics"] + [metrics]
+        self._commit_manifest(m)
+        self.manifest = m
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Write manifest-{v}.json then atomically swap the pointer.
+        A crash between the two leaves an orphan manifest — harmless."""
+        mdir = os.path.join(self.path, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        name = f"manifest-{manifest['version']:08d}.json"
+        tmp = os.path.join(mdir, f".tmp-{name}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(mdir, name))
+        ptr_tmp = os.path.join(self.path, "._current.tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, os.path.join(self.path, "_current"))
+
+    # ---------------- lineage / metrics views ----------------
+
+    def lineage_df(self) -> DataFrame:
+        from datetime import datetime, timezone
+
+        from ..schema import LINEAGE_SCHEMA
+
+        rows = [
+            {
+                **r,
+                "committed_at": datetime.strptime(
+                    r["committed_at"], "%Y-%m-%dT%H:%M:%SZ"
+                ).replace(tzinfo=timezone.utc),
+            }
+            for r in self.manifest["lineage"]
+        ]
+        return (
+            self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+            if rows
+            else self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        )
+
+    def metrics_df(self) -> DataFrame:
+        from ..schema import METRICS_SCHEMA
+
+        rows = self.manifest["metrics"]
+        return self.spark.createDataFrame(rows, METRICS_SCHEMA) if rows else \
+            self.spark.createDataFrame([], METRICS_SCHEMA)
+
+
+def _utcnow_iso() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
