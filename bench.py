@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Default mode: runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "merge_events_per_sec": ..., "cpus": ...}
+
+The headline number that matters for BASELINE.json is
+``merge_events_per_sec``: end-to-end CDC replay (read WAL → normalize →
+LWW dedup → bucketed CoW MERGE commit) measured over the full sf log.
+
+--scaling mode: runs the same replay at local[8] and local[32] on the
+same input and reports throughput at both plus efficiency
+(= t32 / (4·t8) throughput ratio), appending the evidence to
+BENCH/BASELINE.md — the sandbox stand-in for the north_rule's N vs 4N
+executor requirement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _bench_queries():
+    from tap_github_search_spark.plans.queries import REGISTRY
+
+    names = [
+        "cdc_replay_transcripts",
+        "cdc_conv_rollup",
+        "cdc_bookmark_antijoin",
+        "agg_monthly_counts",
+        "join_enrich_orders",
+        "topk_events",
+        "docs_fingerprint",
+        "emb_cosine_topk",
+    ]
+    return {n: REGISTRY[n][0] for n in names if n in REGISTRY}
+
+
+def _force(df) -> None:
+    """Materialize every column (noop sink — count() would let Catalyst
+    prune the expensive ones)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_suite(spark, sf_dir: str, table_root: str) -> dict:
+    from tap_github_search_spark.sources.generator import (
+        changelog_dir,
+        ensure_changelog,
+        sf_from_dir,
+    )
+    from tap_github_search_spark.streaming.job import replay
+
+    sf = sf_from_dir(sf_dir)
+    ensure_changelog(spark, sf)
+    log_dir = changelog_dir(sf)
+    n_events = spark.read.parquet(log_dir).count()
+
+    timings: dict[str, float] = {}
+
+    # headline: end-to-end MERGE replay into a fresh table
+    shutil.rmtree(table_root, ignore_errors=True)
+    t0 = time.monotonic()
+    table, _ = replay(spark, [log_dir], table_root, n_buckets=64, n_epochs=1)
+    merge_sec = time.monotonic() - t0
+    timings["merge_replay"] = round(merge_sec, 3)
+
+    for name, fn in _bench_queries().items():
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    return {
+        "sf": sf,
+        "n_events": n_events,
+        "merge_sec": merge_sec,
+        "merge_events_per_sec": round(n_events / merge_sec, 1),
+        "queries": timings,
+        "total_sec": round(sum(timings.values()), 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scaling = "--scaling" in sys.argv
+
+    from tap_github_search_spark.session import get_spark
+
+    if not scaling:
+        spark = get_spark(cores=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        r = run_suite(spark, sf_dir, "/root/repo/data/bench/table")
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_merge_replay_and_headline_queries",
+                    "value": r["total_sec"],
+                    "unit": "sec",
+                    "queries": r["queries"],
+                    "sf": r["sf"],
+                    "n_events": r["n_events"],
+                    "merge_events_per_sec": r["merge_events_per_sec"],
+                    "cpus": cpus,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    # --scaling: same job, two parallelism levels, same input
+    results = {}
+    for n in (8, 32):
+        spark = get_spark(cores=n, shuffle_partitions=n)
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm the generator cache before timing
+        r = run_suite(spark, sf_dir, f"/root/repo/data/bench/table_{n}")
+        results[n] = r
+        spark.stop()
+
+    eps8 = results[8]["merge_events_per_sec"]
+    eps32 = results[32]["merge_events_per_sec"]
+    eff = eps32 / (4.0 * eps8)
+    out = {
+        "metric": "scaling_efficiency_local8_to_local32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "events_per_sec": {"local8": eps8, "local32": eps32},
+        "sf": results[32]["sf"],
+        "n_events": results[32]["n_events"],
+    }
+    print(json.dumps(out))
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/scaling_raw.json", "w") as f:
+        json.dump({str(k): v for k, v in results.items()} | {"efficiency": eff}, f,
+                  indent=2)
+
+
+if __name__ == "__main__":
+    main()

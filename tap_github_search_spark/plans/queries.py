@@ -1,0 +1,476 @@
+"""Query catalog: every entry is one operator family from SURVEY.md §2,
+expressed Spark-first, paired with ANSI-SQL oracle text DuckDB can run
+on the same inputs (driver contract in /root/repo/__spark_entry__.py).
+
+Inputs:
+ - driver tables (pre-registered DuckDB views): region nation customer
+   supplier part orders lineitem events documents embeddings
+ - the engine's own CDC changelog (deterministic, seed=42), committed at
+   /root/repo/data/cdc/sf0.01 so the oracle can read it by path.
+
+Column-naming contract: the driver hash-compares values after sorting
+columns by name, so every computed column is aliased identically on both
+sides, and floats are rounded identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalized
+from ..operators.dedup import final_state, lww_winners, lww_winners_salted
+from ..sources.generator import changelog_dir, ensure_changelog, sf_from_dir
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# oracle-side path of the committed correctness-scale changelog
+_ORACLE_LOG = "/root/repo/data/cdc/sf0.01/changelog/*.parquet"
+
+# DuckDB equivalent of functions.normalize.normalize_text
+_NORM = "nfc_normalize(replace(text, chr(0), ''))"
+
+# DuckDB CTE: LWW winners over the changelog (deletes still present)
+_WINNERS_CTE = f"""
+WITH winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM read_parquet('{_ORACLE_LOG}')
+  ) WHERE rn = 1
+)
+"""
+
+
+def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's changelog at the scale matching the driver's sf_dir
+    (generated once, deterministically, if absent)."""
+    sf = sf_from_dir(sf_dir)
+    ensure_changelog(spark, sf)
+    return spark.read.parquet(changelog_dir(sf))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# CDC family (SURVEY.md §2.2, §2.8 W1, §2.7 J3/J5, §2.6 F1/F2)
+# =====================================================================
+
+def q_cdc_replay_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full-replay final table state — LWW winners minus
+    deletes, text normalized (W1 + J5 semantics, north_star)."""
+    return (
+        final_state(_log(spark, sf_dir))
+        .select(
+            "conv_id", "turn_idx", "role",
+            normalized("text").alias("text"), "tool", "ts",
+        )
+    )
+
+
+SQL_CDC_REPLAY = f"""
+{_WINNERS_CTE}
+SELECT conv_id, turn_idx, role, {_NORM} AS text, tool, ts
+FROM winners WHERE op <> 'D'
+"""
+
+
+def q_cdc_replay_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final state via the explicit two-stage salted reduction
+    (north_rule skew handling); oracle identical to the unsalted plan."""
+    w = lww_winners_salted(_log(spark, sf_dir)).filter(F.col("op") != "D")
+    return w.select(
+        "conv_id", "turn_idx", "role", normalized("text").alias("text"),
+        "tool", "ts",
+    )
+
+
+def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winner-op distribution: how many keys end as insert/update/delete
+    (I9 state finalization analog, aggregated)."""
+    return (
+        lww_winners(_log(spark, sf_dir))
+        .groupBy("op")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+SQL_CDC_OP_STATS = f"""
+{_WINNERS_CTE}
+SELECT op, count(*) AS n_keys FROM winners GROUP BY op
+"""
+
+
+def q_cdc_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup of the final state: live turn count, last
+    event time, distinct roles (transcript re-assembly check)."""
+    fs = final_state(_log(spark, sf_dir))
+    return fs.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("role").alias("n_roles"),
+    )
+
+
+SQL_CDC_CONV_ROLLUP = f"""
+{_WINNERS_CTE}
+SELECT conv_id, count(*) AS n_turns, max(ts) AS last_ts,
+       count(DISTINCT role) AS n_roles
+FROM winners WHERE op <> 'D' GROUP BY conv_id
+"""
+
+
+def q_cdc_month_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition fan-out (F1/F2): per conversation, the months still to
+    sync = months after its bookmark (first-event month) up to the
+    global last month. sequence+explode replaces the reference's
+    month_range loop (search_count_streams.py:397-460)."""
+    log = _log(spark, sf_dir)
+    bk = log.groupBy("conv_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("bookmark_month")
+    )
+    maxm = log.select(F.date_trunc("month", F.max("ts")).alias("m")).first()["m"]
+    # Spark's sequence() raises when start > stop (DuckDB returns empty):
+    # drop conversations already bookmarked at the last month.
+    bk = bk.filter(
+        F.add_months(F.to_date(F.col("bookmark_month")), 1) <= F.lit(maxm.date())
+    )
+    return (
+        bk.withColumn(
+            "month",
+            F.explode(
+                F.sequence(
+                    F.to_date(F.col("bookmark_month")) + F.expr("INTERVAL 1 MONTH"),
+                    F.lit(maxm.date()),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ),
+        )
+        .select("conv_id", F.date_format("month", "yyyy-MM").alias("month"))
+    )
+
+
+SQL_CDC_MONTH_FANOUT = f"""
+WITH bk AS (
+  SELECT conv_id, date_trunc('month', min(ts)) AS bookmark_month
+  FROM read_parquet('{_ORACLE_LOG}') GROUP BY conv_id
+), mx AS (
+  SELECT date_trunc('month', max(ts)) AS max_month
+  FROM read_parquet('{_ORACLE_LOG}')
+)
+SELECT conv_id, strftime(m.month, '%Y-%m') AS month
+FROM bk, mx,
+LATERAL (
+  SELECT unnest(generate_series(
+    bookmark_month + INTERVAL 1 MONTH, max_month, INTERVAL 1 MONTH)) AS month
+) m
+"""
+
+
+def q_cdc_bookmark_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bookmark-based incremental pruning (I1/I7/J3): count mutation
+    events strictly newer than each conversation's bookmark (= max insert
+    ts). The bookmark frame is broadcast: it is small relative to the
+    log, exactly like the reference's state dict."""
+    log = _log(spark, sf_dir)
+    bk = log.filter(F.col("op") == "I").groupBy("conv_id").agg(
+        F.max("ts").alias("bookmark_ts")
+    )
+    return (
+        log.filter(F.col("op") != "I")
+        .join(F.broadcast(bk), "conv_id")
+        .filter(F.col("ts") > F.col("bookmark_ts"))
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_new_events"))
+    )
+
+
+SQL_CDC_BOOKMARK_ANTIJOIN = f"""
+WITH bk AS (
+  SELECT conv_id, max(ts) AS bookmark_ts
+  FROM read_parquet('{_ORACLE_LOG}') WHERE op = 'I' GROUP BY conv_id
+)
+SELECT e.conv_id, count(*) AS n_new_events
+FROM read_parquet('{_ORACLE_LOG}') e JOIN bk USING (conv_id)
+WHERE e.op <> 'I' AND e.ts > bk.bookmark_ts
+GROUP BY e.conv_id
+"""
+
+
+# =====================================================================
+# Aggregation family on driver tables (SURVEY.md §2.5 A1-A4, §2.6)
+# =====================================================================
+
+def q_agg_monthly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-bucketed grouped counts (A1/A4 — the search-count analog:
+    count per (month, type) partition)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_AGG_MONTHLY = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_agg_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key batched counts (A2/A3: one hash aggregate replaces the
+    reference's 100-aliased-queries batching)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_AGG_USER = """
+SELECT user_id, count(*) AS n_events,
+       count(*) FILTER (event_type = 'error') AS n_errors,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_join_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-key enrichment as broadcast joins (J1/J4): orders enriched
+    with customer→nation dims, aggregated per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation),
+              cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONPath record extraction (P13/U1): pull typed fields out of the
+    JSON payload column — from_json instead of per-row json.loads."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+
+SQL_FLATTEN_PROPS = """
+SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value (W4/I8: stargazers-first-100 analog) with a
+    deterministic tiebreak; rank-then-limit via window."""
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+SQL_TOPK = """
+SELECT rank, event_id, event_type, round(value, 2) AS value FROM (
+  SELECT row_number() OVER (ORDER BY value DESC, event_id) AS rank,
+         event_id, event_type, value
+  FROM events
+) WHERE rank <= 100
+"""
+
+
+def q_extract_source_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key extraction from a formatted string (P5: issue_number from
+    issue_url analog) → regexp_extract + grouped count."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "src_num",
+            F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int"),
+        )
+        .groupBy("src_num")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_EXTRACT_SOURCE = r"""
+SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# =====================================================================
+# Training-data ops on documents/embeddings (task brief additions)
+# =====================================================================
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash group (training-data op #1):
+    one representative (min doc_id) per distinct text + copy count."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text", normalized("text"))
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+SQL_DOCS_EXACT_DEDUP = f"""
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY {_NORM}
+"""
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality ratios (training-data text analysis),
+    all JVM-side expressions — no UDF in the hot path."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(F.length("text") / F.size(toks), 3).alias("chars_per_token"),
+    )
+
+
+SQL_DOCS_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       round(length(text) / len(regexp_split_to_array(trim(text), '\s+')), 3)
+         AS chars_per_token
+FROM documents
+"""
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: sha256 over normalized text (dedup /
+    provenance key; reference analog: sha256 alias generation,
+    /root/reference/tap_github/organization_streams.py:659-677)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(normalized("text"), 256).alias("fingerprint"),
+    )
+
+
+SQL_DOCS_FINGERPRINT = f"""
+SELECT doc_id, sha256({_NORM}) AS fingerprint FROM documents
+"""
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: 10 query vectors vs the
+    full corpus; dot products via zip_with/aggregate (JVM-side, no UDF).
+    The query side is broadcast — the scale path for k-NN lookups."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+    sim = dot / (norm(F.col("q")) * norm(F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+SQL_EMB_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qe, e.embedding)
+           / (sqrt(list_dot_product(q.qe, q.qe))
+              * sqrt(list_dot_product(e.embedding, e.embedding))) AS s,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qe, e.embedding)
+             / (sqrt(list_dot_product(q.qe, q.qe))
+                * sqrt(list_dot_product(e.embedding, e.embedding))) DESC,
+           e.vec_id) AS rank
+  FROM q, e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, round(s, 4) AS sim FROM sims WHERE rank <= 10
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+#: name → (callable, oracle_sql | None). None ⇒ driver does rows-only check.
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "cdc_replay_transcripts": (q_cdc_replay_transcripts, SQL_CDC_REPLAY),
+    "cdc_replay_salted": (q_cdc_replay_salted, SQL_CDC_REPLAY),
+    "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
+    "cdc_conv_rollup": (q_cdc_conv_rollup, SQL_CDC_CONV_ROLLUP),
+    "cdc_month_fanout": (q_cdc_month_fanout, SQL_CDC_MONTH_FANOUT),
+    "cdc_bookmark_antijoin": (q_cdc_bookmark_antijoin, SQL_CDC_BOOKMARK_ANTIJOIN),
+    "agg_monthly_counts": (q_agg_monthly_counts, SQL_AGG_MONTHLY),
+    "agg_user_counts": (q_agg_user_counts, SQL_AGG_USER),
+    "join_enrich_orders": (q_join_enrich_orders, SQL_JOIN_ENRICH),
+    "flatten_props": (q_flatten_props, SQL_FLATTEN_PROPS),
+    "topk_events": (q_topk_events, SQL_TOPK),
+    "extract_source_key": (q_extract_source_key, SQL_EXTRACT_SOURCE),
+    "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
+    "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
+    "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
+    "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
+}

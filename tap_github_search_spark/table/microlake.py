@@ -138,11 +138,14 @@ class MicroLakeTable:
     def _bucket_expr(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
 
-    def _read_files(self, files: list[dict]) -> DataFrame:
-        """Read data files under the *current* schema; columns added after
-        a file was written surface as NULL (schema-evolution read)."""
+    def _read_files(
+        self, files: list[dict], schema: T.StructType | None = None
+    ) -> DataFrame:
+        """Read data files under ``schema`` (default: current table
+        schema); columns added after a file was written surface as NULL
+        (schema-evolution read)."""
         meta_schema = T.StructType(
-            list(self.schema.fields)
+            list((schema or self.schema).fields)
             + [T.StructField("_seq", T.LongType()),
                T.StructField("_deleted", T.BooleanType())]
         )
@@ -241,7 +244,7 @@ class MicroLakeTable:
 
         # 3. Copy-on-write: read ONLY affected buckets, merge, rewrite them.
         old_files = [f for f in self.manifest["files"] if f["bucket"] in set(affected)]
-        target = self._read_files(old_files)
+        target = self._read_files(old_files, schema=evolved)
         target_ev = target.select(
             F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
             F.col("_seq").alias("seq"),

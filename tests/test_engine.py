@@ -1,0 +1,218 @@
+"""Engine unit + end-to-end tests (test strategy: SURVEY.md §5).
+
+Covers: LWW variant agreement, MicroLake MERGE vs DuckDB oracle,
+crash/restart exactly-once (FIXTURES.md §4), schema evolution (§3),
+delete-vs-late-update ordering (SURVEY.md §7.4 hard part), text
+normalization, and randomized interleavings converging to the oracle.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tap_github_search_spark.operators.dedup import (
+    final_state,
+    lww_winners,
+    lww_winners_salted,
+    lww_winners_window,
+)
+from tap_github_search_spark.schema import CHANGE_EVENT_SCHEMA
+from tap_github_search_spark.sources.generator import TURN_SPAN, write_changelog
+from tap_github_search_spark.streaming.job import replay, stream
+from tap_github_search_spark.table.microlake import MicroLakeTable
+
+
+def _ts(sec: int) -> datetime:
+    return datetime.fromtimestamp(1735689600 + sec, tz=timezone.utc)
+
+
+def _events(spark, rows):
+    """rows: (seq, op, conv, turn, ts_sec[, text])"""
+    data = [
+        (r[0], r[1], r[2], r[3], "user", r[5] if len(r) > 5 else f"t{r[0]}",
+         None, _ts(r[4]))
+        for r in rows
+    ]
+    return spark.createDataFrame(data, CHANGE_EVENT_SCHEMA)
+
+
+def _oracle_final(log_glob: str) -> pd.DataFrame:
+    return (
+        duckdb.sql(
+            f"""
+        SELECT conv_id, turn_idx, role,
+               nfc_normalize(replace(text, chr(0), '')) AS text, tool, ts
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) rn
+          FROM read_parquet({log_glob})
+        ) WHERE rn = 1 AND op <> 'D'
+        """
+        )
+        .df()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _assert_table_equals_oracle(table, log_glob):
+    ours = (
+        table.snapshot_df()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    oracle = _oracle_final(log_glob)
+    ours["ts"] = pd.to_datetime(ours["ts"], utc=True)
+    oracle["ts"] = pd.to_datetime(oracle["ts"], utc=True)
+    pd.testing.assert_frame_equal(ours, oracle, check_dtype=False)
+
+
+# ---------------------------------------------------------------- units
+
+def test_lww_variants_agree(spark, tmp_dir):
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=3)
+    df = spark.read.parquet(f"{tmp_dir}/log")
+    a = lww_winners(df)
+    b = lww_winners_window(df)
+    c = lww_winners_salted(df, n_salts=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+
+def test_normalize_strips_nul_and_nfc(spark):
+    from tap_github_search_spark.functions.normalize import normalized
+
+    df = spark.createDataFrame(
+        [("a\x00b",), ("café",), ("café",), (None,)], ["text"]
+    ).select(normalized("text").alias("text"))
+    vals = [r.text for r in df.collect()]
+    assert vals[0] == "ab"
+    assert vals[1] == vals[2] == "café"
+    assert vals[3] is None
+
+
+def test_delete_is_not_absorbing_late_update_wins(spark):
+    # I(ts=10), D(ts=20), U(ts=30): winner is the update → row lives.
+    df = _events(spark, [(1, "I", "c1", 0, 10), (2, "D", "c1", 0, 20),
+                         (3, "U", "c1", 0, 30, "alive")])
+    out = final_state(df).collect()
+    assert len(out) == 1 and out[0].text == "alive"
+
+
+def test_delete_wins_over_earlier_ts_update(spark):
+    # U's ts (20) is older than D's (30): delete wins → key absent.
+    df = _events(spark, [(1, "I", "c1", 0, 10), (2, "D", "c1", 0, 30),
+                         (3, "U", "c1", 0, 20, "zombie")])
+    assert final_state(df).count() == 0
+
+
+# ------------------------------------------------------- MERGE / table
+
+def test_tombstone_blocks_cross_batch_resurrection(spark, tmp_dir):
+    """The §7.4 trap: the delete arrives in an earlier batch than an
+    older-ts update; without tombstones the update would resurrect."""
+    t = MicroLakeTable.create(
+        spark, f"{tmp_dir}/t",
+        _events(spark, [(1, "I", "c", 0, 1)]).drop("op", "seq").schema,
+        n_buckets=4,
+    )
+    t.merge(_events(spark, [(1, "I", "c1", 0, 10), (2, "D", "c1", 0, 30)]), 0)
+    assert t.snapshot_df().count() == 0
+    t.merge(_events(spark, [(3, "U", "c1", 0, 20, "zombie")]), 1)
+    assert t.snapshot_df().count() == 0, "older update resurrected a deleted key"
+    # but a genuinely newer update revives it
+    t.merge(_events(spark, [(4, "U", "c1", 0, 40, "revived")]), 2)
+    rows = t.snapshot_df().collect()
+    assert len(rows) == 1 and rows[0].text == "revived"
+
+
+def test_epoch_fence_is_idempotent(spark, tmp_dir):
+    batch = _events(spark, [(1, "I", "c1", 0, 10), (2, "I", "c2", 0, 11)])
+    t = MicroLakeTable.create(spark, f"{tmp_dir}/t",
+                              batch.drop("op", "seq").schema, n_buckets=4)
+    r1 = t.merge(batch, 0)
+    r2 = t.merge(batch, 0)  # redelivery of the same epoch
+    assert not r1.skipped and r2.skipped
+    assert t.snapshot_df().count() == 2
+    # reload from disk — fence survives restart
+    t2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert t2.merge(batch, 0).skipped
+    assert t2.last_committed_epoch == 0
+
+
+def test_batch_replay_matches_oracle_multi_epoch(spark, tmp_dir):
+    write_changelog(spark, f"{tmp_dir}/log", 200, n_files=4)
+    table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                            n_buckets=8, n_epochs=4)
+    assert [r.epoch for r in results] == [0, 1, 2, 3]
+    _assert_table_equals_oracle(table, f"'{tmp_dir}/log/*.parquet'")
+    # lineage: every epoch present exactly once per bucket at most
+    lin = table.lineage_df().toPandas()
+    assert set(lin.commit_epoch) <= {0, 1, 2, 3}
+    assert not lin.duplicated(["commit_epoch", "partition_id"]).any()
+
+
+def test_copy_on_write_touches_only_affected_buckets(spark, tmp_dir):
+    t = MicroLakeTable.create(
+        spark, f"{tmp_dir}/t",
+        _events(spark, [(1, "I", "c", 0, 1)]).drop("op", "seq").schema,
+        n_buckets=64,
+    )
+    t.merge(_events(spark, [(i, "I", f"c{i}", 0, i) for i in range(1, 50)]), 0)
+    files_before = {f["path"] for f in t.manifest["files"]}
+    r = t.merge(_events(spark, [(100, "U", "c1", 0, 100, "upd")]), 1)
+    assert r.buckets_touched == 1
+    files_after = {f["path"] for f in t.manifest["files"]}
+    # all but one bucket's files survive untouched
+    assert len(files_before & files_after) >= len(files_before) - 1
+
+
+# ----------------------------------------------------- streaming / e2e
+
+def test_stream_crash_restart_exactly_once(spark, tmp_dir):
+    log = f"{tmp_dir}/log"
+    write_changelog(spark, log, 120, n_files=6)
+    with pytest.raises(Exception):
+        stream(spark, [log], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+               n_buckets=8, max_files_per_trigger=2, fail_after_batches=1)
+    t = stream(spark, [log], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+               n_buckets=8, max_files_per_trigger=2)
+    _assert_table_equals_oracle(t, f"'{log}/*.parquet'")
+    lin = t.lineage_df().toPandas()
+    assert not lin.duplicated(["commit_epoch", "partition_id"]).any()
+
+
+def test_schema_evolution_adds_columns_nullable(spark, tmp_dir):
+    log1, log2 = f"{tmp_dir}/log1", f"{tmp_dir}/log2"
+    write_changelog(spark, log1, 80, n_files=2)
+    write_changelog(spark, log2, 20, n_files=1, evolved=True,
+                    seq_offset=80 * TURN_SPAN * 2)
+    table, _ = replay(spark, [log1], f"{tmp_dir}/t", n_buckets=8)
+    assert "tool_version" not in [f.name for f in table.schema.fields]
+    # second segment carries new columns → implicit ADD COLUMN
+    ev = spark.read.parquet(log2)
+    table.merge(ev, epoch=table.last_committed_epoch + 1)
+    names = [f.name for f in table.schema.fields]
+    assert "tool_version" in names and "lang" in names
+    snap = table.snapshot_df()
+    # pre-evolution rows read back as NULL
+    assert snap.filter(F.col("lang").isNull()).count() > 0
+    assert snap.filter(F.col("lang").isNotNull()).count() > 0
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_randomized_interleavings_converge(spark, tmp_dir, seed):
+    """Different seeds (op mixes, disorder, duplicates) + odd epoch
+    splits must all converge to the DuckDB oracle state."""
+    log = f"{tmp_dir}/log"
+    write_changelog(spark, log, 100, n_files=5, seed=seed,
+                    out_of_order_pct=40, duplicate_pct=10)
+    table, _ = replay(spark, [log], f"{tmp_dir}/t", n_buckets=8, n_epochs=3)
+    _assert_table_equals_oracle(table, f"'{log}/*.parquet'")

@@ -1,0 +1,75 @@
+"""Driver-shaped correctness gate: every catalog query at sf0.01 must
+match its DuckDB oracle on row count, column names, and values
+(order-insensitive) — the same comparison CORRECTNESS_r{N}.json records.
+
+Mirrors the reference's final-state assertion
+(/root/reference/tap_github/tests/test_tap.py:130-161): an independent
+implementation of the same semantics must agree exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tap_github_search_spark.plans.queries import REGISTRY
+from tap_github_search_spark.sources.generator import ensure_changelog
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all values — order-insensitive
+    canonical form, with timestamps coerced to UTC and floats rounded
+    to hash-stable precision."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c], utc=True)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", list(REGISTRY))
+def test_query_matches_oracle(spark, ddb, name):
+    fn, sql = REGISTRY[name]
+    ensure_changelog(spark, 0.01)
+    ours = canon(fn(spark, SF_DIR).toPandas())
+    if sql is None:
+        assert len(ours) > 0
+        return
+    oracle = canon(ddb.sql(sql).df())
+    assert list(ours.columns) == list(oracle.columns), (
+        f"{name}: column mismatch {list(ours.columns)} vs {list(oracle.columns)}"
+    )
+    assert len(ours) == len(oracle), (
+        f"{name}: row count {len(ours)} vs oracle {len(oracle)}"
+    )
+    pd.testing.assert_frame_equal(ours, oracle, check_dtype=False,
+                                  check_exact=False, rtol=1e-6, atol=1e-9)
+
+
+def test_registry_nonempty():
+    assert len(REGISTRY) >= 10
+    assert not any(
+        fn is None or (sql is not None and not sql.strip())
+        for fn, sql in REGISTRY.values()
+    )
