@@ -1,0 +1,165 @@
+"""Text-analysis / dedup primitives for large-scale training-data
+pipelines (task-brief first-class ops), all as native Column
+expressions — JVM-side, whole-stage-codegen-friendly, no Python in the
+hot path.
+
+Cross-engine determinism contract: every hash used here is ``md5`` over
+UTF-8 text rendered as a hex string, because Spark's ``F.md5`` and
+DuckDB's ``md5`` agree byte-for-byte (unlike xxhash64 vs DuckDB's
+``hash``), and hex strings compare lexicographically identically in both
+engines. That lets each operator carry an exact DuckDB oracle.
+
+Scale notes:
+ - Shingling/minhashing are per-row ``transform``/``aggregate`` lambda
+   expressions → narrow, no shuffle, scale linearly with input bytes.
+ - The LSH candidate join shuffles on (band_idx, band_key) — at 100 TB
+   this is the standard band-bucket join; bucket width is tuned by
+   (n_hashes, band_size), and hot band buckets (boilerplate text) are
+   bounded by an optional per-bucket cap upstream.
+ - SimHash is one explode + hash-aggregate (map-side combinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- tokens
+
+def tokens(col) -> Column:
+    """Whitespace tokens of trimmed text (empty string → empty array).
+    Matches DuckDB ``regexp_split_to_array(trim(x), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings; fewer than ``n``
+    tokens → empty array (guards Spark's descending ``sequence``)."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(make)
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, n_hashes: int = 8) -> list[Column]:
+    """``n_hashes`` MinHash values, each = min over shingles of
+    md5('<i>|' || shingle) as a hex string (salted hash family).
+    Returns one Column per hash, aliased mh0..mh{k-1}."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def lsh_bands(n_hashes: int = 8, band_size: int = 2) -> list[Column]:
+    """Band keys over an existing mh0..mh{k-1} signature: each band is
+    md5 of the concatenated member hashes. banded rows join on
+    (band_idx, band_key)."""
+    bands = []
+    for b in range(n_hashes // band_size):
+        member = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(F.md5(F.concat_ws("|", *member)).alias(f"band{b}"))
+    return bands
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two string-array set columns (arrays assumed
+    distinct)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document from word tokens (with multiplicity).
+
+    Bit b of a token's hash = low bit of hex digit b of md5(token); the
+    document bit is the sign of sum(±1) over tokens. One explode + one
+    hash aggregate (map-side combinable) — no window, no UDF.
+    Returns (id_col, simhash:int).
+    """
+    odd = list("13579bdf")  # hex digits with low bit set
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("_tok"))
+    tok = tok.withColumn("_h", F.md5(F.col("_tok")))
+    aggs = [
+        F.sum(
+            F.when(F.substring("_h", b + 1, 1).isin(odd), 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(16)
+    ]
+    sig = tok.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0)
+    for b in range(16):
+        acc = acc + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig.select(id_col, acc.cast("int").alias("simhash"))
+
+
+# ------------------------------------------------------------- language id
+
+#: tiny per-language stopword lists (public-knowledge heuristic lang-ID)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "que"],
+    "es": ["el", "los", "de", "y", "que", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht", "mit"],
+}
+LANG_PRIORITY = ["en", "fr", "es", "de"]  # deterministic tie-break order
+
+
+def lang_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens (lowercased, with multiplicity) in ``lang``'s
+    stopword list."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def lang_pick(hit_cols: dict[str, Column]) -> Column:
+    """argmax over languages in LANG_PRIORITY order (earlier wins ties);
+    all-zero → 'und'. Mirrored 1:1 by a CASE chain in the oracle SQL."""
+    total = None
+    for lang in hit_cols:
+        total = hit_cols[lang] if total is None else total + hit_cols[lang]
+    # build from the end: es beats de on >=, fr beats greatest(es,de), ...
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = [hit_cols[l2] for l2 in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1:]]
+        cond = hit_cols[lang] >= F.greatest(*later) if len(later) > 1 else (
+            hit_cols[lang] >= later[0]
+        )
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return F.when(total == 0, F.lit("und")).otherwise(expr)
+
+
+# ------------------------------------------------------------ rolling hash
+
+ROLL_MOD = 1_000_000_007
+ROLL_MULT = 131
+
+
+def rolling_hash(toks: Column) -> Column:
+    """Order-sensitive polynomial fingerprint over the token stream:
+    acc = (acc*131 + val(tok)) mod 1e9+7, val(tok) = ascii of first hex
+    char of md5(tok) * 256 + len(tok). ``F.aggregate`` fold — narrow,
+    vectorized, and exactly reproducible by DuckDB ``list_reduce``."""
+    val = lambda t: (
+        F.ascii(F.substring(F.md5(t), 1, 1)) * 256 + F.length(t)
+    ).cast("long")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * ROLL_MULT + val(t), F.lit(ROLL_MOD)),
+    )

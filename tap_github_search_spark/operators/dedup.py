@@ -12,15 +12,22 @@ records (/root/reference/tap_github/tests/test_tap.py:150-161); newest
 row wins on replay because the Singer target upserts by primary key.
 
 Implementation notes (scale):
- - The default path is a **hash aggregation** ``max(struct(ts, seq,
-   payload...))``, not a window. A window needs a full shuffle + sort and
-   puts every event of a hot conversation in one task; the aggregate gets
-   map-side partial combine for free, so a conv_id with 10^6 duplicate
-   events collapses to ~one row per upstream partition before the
-   shuffle. This is the skew-proof plan at 10^10 events.
+ - The default path is ``max(struct(ts, seq, payload...))`` — an
+   aggregate, not a window. Because the struct buffer contains variable-
+   length fields it compiles to **SortAggregate**, but crucially still
+   with a **partial_max map-side combine** (visible in `.explain`):
+   a conv_id with 10^6 duplicate events collapses to ~one row per
+   upstream partition before the shuffle, unlike a window, which ships
+   every event of a hot key into one task. Measured at 9M events the
+   sort-vs-hash difference is noise; the combine is what matters.
+ - ``lww_winners_ord`` is the strict-HashAggregate variant for
+   update-heavy skew: it packs ``(ts, seq)`` into one decimal(38,0)
+   order key (decimal buffers are hash-aggregable), reduces with a
+   skinny hash aggregate whose shuffle carries keys+16 bytes (no text
+   payload), then re-joins winners to fetch payload.
  - ``lww_winners_salted`` demonstrates the explicit two-stage
    salted variant the north_rule asks for; with partial aggregation the
-   unsalted plan is already equivalent, so salting is exposed for the
+   unsalted plans are already equivalent, so salting is exposed for the
    window-based path and for demonstration/verification.
  - struct comparison is lexicographic, and ``seq`` is unique per event,
    so the winner is deterministic; exact duplicate deliveries (same seq)
@@ -68,6 +75,37 @@ def lww_winners_window(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+#: 10^19 > any seq; shifts ts-micros left of seq inside one decimal(38,0)
+_ORD_SCALE = "CAST('10000000000000000000' AS DECIMAL(38,0))"
+
+
+def lww_ord(order: tuple[str, ...] = LWW_ORDER):
+    """(ts, seq) packed into one hash-aggregable decimal(38,0):
+    unix_micros(ts)·10^19 + seq. Order-preserving while seq < 10^19 and
+    ts ≥ epoch (both guaranteed by the WAL contract)."""
+    ts, seq = order
+    return (
+        F.unix_micros(F.col(ts)).cast("decimal(38,0)") * F.expr(_ORD_SCALE)
+        + F.col(seq).cast("decimal(38,0)")
+    )
+
+
+def lww_winners_ord(
+    df: DataFrame,
+    keys: tuple[str, ...] = MERGE_KEYS,
+    order: tuple[str, ...] = LWW_ORDER,
+) -> DataFrame:
+    """Strict-HashAggregate LWW for update-heavy skew: the reduce
+    shuffle carries only (keys, decimal) — no payload — then winners
+    re-join the input to fetch payload columns. Exact duplicate
+    deliveries of the winning event survive the join as byte-identical
+    rows and are collapsed by a final (tiny) dedup over winners only."""
+    withord = df.withColumn("_ord", lww_ord(order))
+    mx = withord.groupBy(*keys).agg(F.max("_ord").alias("_ord"))
+    joined = withord.join(mx, [*keys, "_ord"]).select(*df.columns)
+    return lww_winners(joined, keys=keys, order=order)
 
 
 def lww_winners_salted(

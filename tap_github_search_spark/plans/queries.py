@@ -474,3 +474,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
 }
+
+# training-data pipeline ops (dedup / similarity / multimodal / text
+# analysis / set-op & window coverage) — see plans/queries_traindata.py.
+# Imported last: queries_traindata reuses _WINNERS_CTE/_log from this
+# module, which are already bound by this point.
+from .queries_traindata import REGISTRY_TRAINDATA  # noqa: E402
+
+REGISTRY.update(REGISTRY_TRAINDATA)

@@ -1,0 +1,558 @@
+"""Training-data pipeline operators (task-brief first-class additions):
+dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + bit-sampling-LSH ANN), multimodal binary-column
+plumbing, and text analysis (lang-ID, quality, fingerprints) — each as
+a (Spark query, DuckDB oracle) pair over the driver's ``documents`` /
+``embeddings`` tables, plus set-op / window / TPC-H-style coverage rows
+for SURVEY.md §2.9.
+
+Cross-engine determinism uses md5-hex strings throughout (see
+functions/textops.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import byte_features, to_media_table
+from ..functions.simsearch import cosine, sign_bucket
+from ..functions.textops import (
+    LANG_PRIORITY,
+    ROLL_MOD,
+    ROLL_MULT,
+    STOPWORDS,
+    jaccard,
+    lang_hits,
+    lang_pick,
+    lsh_bands,
+    minhash_signature,
+    rolling_hash,
+    simhash16,
+    tokens,
+    word_shingles,
+)
+from ..operators.dedup import final_state
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB CTE: distinct lowercase word-3-gram shingles per doc
+_SH_CTE = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM docs, LATERAL (
+    SELECT unnest(list_transform(
+      generate_series(1, len(w) - 2),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s) t
+  WHERE len(w) >= 3
+)
+"""
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh:array<string>) — distinct lowercase word-3-shingles."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(tokens(F.lower(F.col("text"))))
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+
+
+# ================================================================ dedup
+
+def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes) + LSH(4 bands × 2 rows) near-dup candidate
+    pairs, verified with exact Jaccard ≥ 0.3. The band-bucket equi-join
+    is the 100 TB scale path: pair space shrinks from O(N²) to shared
+    band buckets only."""
+    sets = _shingle_sets(spark, sf_dir)
+    sig = sets.select("doc_id", "sh", *minhash_signature(F.col("sh"), 8))
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[b for b in lsh_bands(8, 2)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jac", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jac") >= 0.3)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+def _sql_minhash() -> str:
+    mh = ",\n    ".join(
+        f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM mh"
+        for b in range(4)
+    )
+    return f"""
+{_SH_CTE},
+mh AS (
+  SELECT doc_id,
+    {mh}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.3
+"""
+
+
+SQL_MINHASH = _sql_minhash()
+
+
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard similarity join (the ground truth MinHash
+    approximates): pairs sharing ≥1 shingle, Jaccard ≥ 0.3, via a
+    shingle-keyed self-join + pair-count aggregation."""
+    sets = _shingle_sets(spark, sf_dir)
+    sh = sets.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sets.select("doc_id", F.size("sh").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("i")),
+                4,
+            ),
+        )
+        .filter(F.col("jac") >= 0.3)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+{_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.3
+"""
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (near-dup families share
+    or almost-share fingerprints); one explode + hash aggregate."""
+    return simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_simhash() -> str:
+    odd = "'1','3','5','7','9','b','d','f'"
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN substr(h, {b+1}, 1) IN ({odd}) "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\s+'))) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    {sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS INT) AS simhash FROM s
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# ========================================================= text analysis
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: stopword-hit argmax over 4 languages with
+    deterministic priority tie-break; zero hits → 'und'."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    hits = {lang: lang_hits(toks, lang) for lang in LANG_PRIORITY}
+    total = sum(list(hits.values())[1:], start=list(hits.values())[0])
+    return docs.select(
+        "doc_id",
+        lang_pick(hits).alias("pred_lang"),
+        total.cast("long").alias("n_hits"),
+    )
+
+
+def _sql_lang_id() -> str:
+    hit = {
+        lang: (
+            "len(list_filter(w, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "], t)))"
+        )
+        for lang in LANG_PRIORITY
+    }
+    en, fr, es, de = (hit[lang] for lang in LANG_PRIORITY)
+    return rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {en} AS hen, {fr} AS hfr, {es} AS hes, {de} AS hde FROM d
+)
+SELECT doc_id,
+  CASE WHEN hen + hfr + hes + hde = 0 THEN 'und'
+       WHEN hen >= greatest(hfr, hes, hde) THEN 'en'
+       WHEN hfr >= greatest(hes, hde) THEN 'fr'
+       WHEN hes >= hde THEN 'es'
+       ELSE 'de' END AS pred_lang,
+  CAST(hen + hfr + hes + hde AS BIGINT) AS n_hits
+FROM h
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for corpus filtering: token count, English
+    stopword ratio, punctuation ratio, alpha ratio, and the keep flag a
+    training-data pipeline would gate on. All codegen'd expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    stop_ratio = F.round(
+        lang_hits(toks, "en").cast("double") / F.nullif(n_tok, F.lit(0)), 4
+    )
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    alpha = n_chars - F.length(F.regexp_replace("text", r"[A-Za-z]", ""))
+    punct_ratio = F.round(punct.cast("double") / F.nullif(n_chars, F.lit(0)), 4)
+    alpha_ratio = F.round(alpha.cast("double") / F.nullif(n_chars, F.lit(0)), 4)
+    keep = (n_tok >= 5) & (n_tok <= 5000) & (alpha_ratio >= 0.5)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        keep.alias("keep"),
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+SQL_QUALITY = rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         length(text) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(w) AS n_tokens,
+    round(len(list_filter(w, t -> list_contains([{_EN_LIST}], t)))::DOUBLE
+          / nullif(len(w), 0), 4) AS stop_ratio,
+    round((n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+          / nullif(n_chars, 0), 4) AS punct_ratio,
+    round((n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+          / nullif(n_chars, 0), 4) AS alpha_ratio
+  FROM d
+)
+SELECT doc_id, n_tokens, stop_ratio, punct_ratio, alpha_ratio,
+       (n_tokens >= 5 AND n_tokens <= 5000 AND alpha_ratio >= 0.5) AS keep
+FROM m
+"""
+
+
+def q_docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint over the token stream —
+    unlike the sha256 fingerprint, prefix-equal docs get related
+    incremental states; the classic content-defined-chunking primitive."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash(tokens(F.col("text"))).alias("fp")
+    )
+
+
+SQL_ROLLING_HASH = rf"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_split_to_array(trim(text), '\s+'),
+        t -> CAST(ascii(substr(md5(t), 1, 1)) * 256 + length(t) AS BIGINT))),
+    (a, b) -> (a * {ROLL_MULT} + b) % {ROLL_MOD}) AS fp
+FROM documents
+"""
+
+
+# ========================================================== multimodal
+
+def q_mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata →
+    Arrow-batched mapInPandas feature extraction (byte length + sha256).
+    The decode step for real codecs is stubbed (functions/multimodal.py);
+    the Spark-side schema/batching here is the real pipeline."""
+    media = to_media_table(_t(spark, sf_dir, "documents"))
+    return byte_features(media)
+
+
+SQL_MM_BYTE_FEATURES = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+FROM documents
+"""
+
+
+# ====================================================== similarity search
+
+def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: bit-sampling LSH buckets (sign of first 8 dims);
+    each query (vec_id < 50) probes only its own bucket for top-3
+    cosine neighbors. The join shuffles on the bucket key — O(N) work
+    per probe instead of O(N²) brute force."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    emb = emb.withColumn("bucket", sign_bucket(F.col("v"), 8))
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(8)
+)
+
+SQL_EMB_LSH_ANN = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 50),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+    round(list_dot_product(q.qv, e.v)
+      / (sqrt(list_dot_product(q.qv, q.qv))
+         * sqrt(list_dot_product(e.v, e.v))), 4) AS sim
+  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+"""
+
+
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus stats via posexplode (positional zip, §2.7
+    J2 analog): the embedding-column profiling step before quantization."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return emb.groupBy("dim").agg(
+        F.round(F.avg("x"), 4).alias("avg_val"),
+        F.round(F.min("x"), 4).alias("min_val"),
+        F.round(F.max("x"), 4).alias("max_val"),
+    )
+
+
+SQL_EMB_DIM_STATS = """
+SELECT i - 1 AS dim, round(avg(x), 4) AS avg_val,
+       round(min(x), 4) AS min_val, round(max(x), 4) AS max_val
+FROM (
+  SELECT unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+) GROUP BY dim
+"""
+
+
+# ==================================================== set ops / windows
+
+def q_set_ops_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 set-op coverage: distinct key sets from two tables combined
+    with union / intersect / except, counted in one row."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    u = ev.union(cu).distinct().agg(F.count("*").alias("n_union"))
+    i = ev.intersect(cu).agg(F.count("*").alias("n_common"))
+    x = ev.subtract(cu).agg(F.count("*").alias("n_events_only"))
+    return u.crossJoin(i).crossJoin(x)
+
+
+SQL_SET_OPS = """
+WITH ev AS (SELECT DISTINCT user_id AS k FROM events),
+cu AS (SELECT DISTINCT c_custkey AS k FROM customer)
+SELECT
+  (SELECT count(*) FROM (SELECT k FROM ev UNION SELECT k FROM cu)) AS n_union,
+  (SELECT count(*) FROM (SELECT k FROM ev INTERSECT SELECT k FROM cu)) AS n_common,
+  (SELECT count(*) FROM (SELECT k FROM ev EXCEPT SELECT k FROM cu)) AS n_events_only
+"""
+
+
+def q_conv_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window over the replayed final state: turn-index gaps left
+    by deletes inside each conversation (transcript-integrity audit)."""
+    from .queries import _log  # shared changelog loader
+
+    fs = final_state(_log(spark, sf_dir))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        fs.withColumn("prev_turn", F.lag("turn_idx").over(w))
+        .filter(F.col("turn_idx") - F.col("prev_turn") > 1)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "prev_turn",
+            (F.col("turn_idx") - F.col("prev_turn")).alias("gap"),
+        )
+    )
+
+
+def _sql_conv_turn_gaps() -> str:
+    from .queries import _WINNERS_CTE
+
+    return f"""
+{_WINNERS_CTE}
+SELECT conv_id, turn_idx, prev_turn, turn_idx - prev_turn AS gap FROM (
+  SELECT conv_id, turn_idx,
+    lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_turn
+  FROM winners WHERE op <> 'D'
+) WHERE turn_idx - prev_turn > 1
+"""
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary on lineitem (classic scan →
+    filter-pushdown → hash-aggregate shape; §2.5 coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+REGISTRY_TRAINDATA = {
+    "docs_minhash_lsh_pairs": (q_docs_minhash_lsh, SQL_MINHASH),
+    "docs_ngram_jaccard_pairs": (q_docs_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "docs_simhash": (q_docs_simhash, SQL_SIMHASH),
+    "docs_lang_id": (q_docs_lang_id, SQL_LANG_ID),
+    "docs_quality": (q_docs_quality, SQL_QUALITY),
+    "docs_rolling_hash": (q_docs_rolling_hash, SQL_ROLLING_HASH),
+    "mm_byte_features": (q_mm_byte_features, SQL_MM_BYTE_FEATURES),
+    "emb_lsh_ann": (q_emb_lsh_ann, SQL_EMB_LSH_ANN),
+    "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
+    "set_ops_keys": (q_set_ops_keys, SQL_SET_OPS),
+    "conv_turn_gaps": (q_conv_turn_gaps, _sql_conv_turn_gaps()),
+    "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
+}

@@ -1,10 +1,11 @@
 """Ingest pipelines: batch replay and Structured Streaming tail.
 
 Lifecycle (SURVEY.md §3.4):
-  discover (schema over log files) → plan (normalize → salt-free hash-agg
-  dedup) → execute per microbatch inside ``foreachBatch`` (epoch fence →
-  LWW dedup → bucketed CoW MERGE → lineage+metrics in the same commit) →
-  resume (checkpoint replays the last batch; the fence makes it a no-op).
+  discover (schema over log files) → execute per microbatch inside
+  ``foreachBatch`` (epoch fence → LWW dedup → vectorized normalize over
+  winners only → bucketed CoW MERGE → lineage+metrics in the same
+  commit) → resume (checkpoint replays the last batch; the fence makes
+  it a no-op).
 
 Reference analogs:
  - replication-key resume: /root/reference/tap_github/client.py:165-191
@@ -73,11 +74,16 @@ def replay(
         spark, table_path, table_schema_for(schema), n_buckets=n_buckets
     )
     log = spark.read.option("mergeSchema", "true").parquet(*log_dirs)
-    log = normalize_events(log)
 
     results: list[MergeResult] = []
     if n_epochs <= 1:
-        results.append(table.merge(log, epoch=table.last_committed_epoch + 1))
+        results.append(
+            table.merge(
+                log,
+                epoch=table.last_committed_epoch + 1,
+                winner_transform=normalize_events,
+            )
+        )
         return table, results
 
     lo, hi = log.select(F.min("seq"), F.max("seq")).first()
@@ -86,7 +92,13 @@ def replay(
         a = int(lo) + i * step
         b = int(hi) + 1 if i == n_epochs - 1 else a + step
         part = log.filter((F.col("seq") >= a) & (F.col("seq") < b))
-        results.append(table.merge(part, epoch=table.last_committed_epoch + 1))
+        results.append(
+            table.merge(
+                part,
+                epoch=table.last_committed_epoch + 1,
+                winner_transform=normalize_events,
+            )
+        )
     return table, results
 
 
@@ -132,7 +144,7 @@ def stream(
     seen = {"n": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table.merge(normalize_events(batch_df), epoch=batch_id)
+        table.merge(batch_df, epoch=batch_id, winner_transform=normalize_events)
         seen["n"] += 1
         if fail_after_batches is not None and seen["n"] >= fail_after_batches:
             raise RuntimeError("injected failure for resumability test")

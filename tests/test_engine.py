@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from tap_github_search_spark.operators.dedup import (
     final_state,
     lww_winners,
+    lww_winners_ord,
     lww_winners_salted,
     lww_winners_window,
 )
@@ -82,8 +83,10 @@ def test_lww_variants_agree(spark, tmp_dir):
     a = lww_winners(df)
     b = lww_winners_window(df)
     c = lww_winners_salted(df, n_salts=7)
+    d = lww_winners_ord(df)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+    assert a.exceptAll(d).count() == 0 and d.exceptAll(a).count() == 0
 
 
 def test_normalize_strips_nul_and_nfc(spark):
