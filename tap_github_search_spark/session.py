@@ -30,6 +30,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # zstd lake files: ~40% smaller than snappy; trades cheap CPU
+        # (which scales with executors) for I/O (which often doesn't).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Don't write per-file .crc/_SUCCESS noise into the lake dirs.
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",

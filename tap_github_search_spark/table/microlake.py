@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import lww_winners
+from ..operators.dedup import lww_winners_window
 from ..schema import LWW_ORDER, MERGE_KEYS
 
 META_COLS = ("_seq", "_deleted", "_bucket")
@@ -136,7 +136,16 @@ class MicroLakeTable:
     # ---------------- read paths ----------------
 
     def _bucket_expr(self, col: str):
-        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
+        """bucket(N, conv_id) — deliberately Murmur3 (`F.hash`), the same
+        function `repartition(N, col)` uses, so one repartition both
+        clusters keys for dedup AND aligns rows to their bucket: every
+        task writes exactly one bucket directory, no second shuffle."""
+        return F.pmod(F.hash(F.col(col)), F.lit(self.n_buckets)).cast("int")
+
+    def _cluster(self, df: DataFrame) -> DataFrame:
+        """One shuffle that serves the whole merge: hash-cluster on the
+        first key into n_buckets partitions (partition id == bucket id)."""
+        return df.repartition(self.n_buckets, self.keys[0])
 
     def _read_files(
         self, files: list[dict], schema: T.StructType | None = None
@@ -212,6 +221,20 @@ class MicroLakeTable:
               WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
 
         plus tombstone retention for the DELETE branch.
+
+        Physical strategy (stage-then-rewrite, chosen after profiling —
+        a cache-winners-then-union plan serializes on the columnar
+        cache and rewrites every batch bucket):
+
+        1. **Stage**: dedup + transform the batch winners and write them
+           straight to ``data/epoch=N`` bucket-partitioned — one full
+           pass, no ``persist``.
+        2. **Lineage**: aggregate per-bucket stats from a column-pruned
+           scan of the *staged* files (reads 3 skinny columns).
+        3. **Rewrite**: only buckets that BOTH received batch rows AND
+           already hold table data are merged (staged ∪ old → LWW) into
+           ``data/epoch=N.rw``; staged files of non-overlapping buckets
+           are referenced as-is. An insert-only epoch rewrites nothing.
         """
         t0 = time.monotonic()
         if epoch <= self.last_committed_epoch:
@@ -219,7 +242,7 @@ class MicroLakeTable:
 
         events_in = batch_df.count()
         if events_in == 0:
-            self._commit(epoch, [], [], {
+            self._commit(epoch, self.manifest["files"], [], {
                 "commit_epoch": epoch, "events_in": 0, "events_deduped": 0,
                 "merge_ms": 0, "throughput_eps": 0.0,
             })
@@ -229,64 +252,95 @@ class MicroLakeTable:
         evolved = T.StructType(list(self.schema.fields) + added)
         payload_names = [f.name for f in evolved.fields]
 
-        # 1. Within-batch LWW dedup (map-side-combinable aggregate),
-        #    then the winner-only transform (vectorized normalize).
-        winners = lww_winners(batch_df, keys=self.keys, order=LWW_ORDER)
+        # 1. Within-batch LWW dedup + winner-only transform (vectorized
+        #    normalize), staged directly to parquet. The `_cluster`
+        #    repartition is the ONLY shuffle in the whole stage path:
+        #    the window dedup reuses its clustering (Catalyst elides the
+        #    Exchange and pushes a WindowGroupLimit rank-limit into the
+        #    sort), and because bucket == partition id, `partitionBy`
+        #    writes exactly one bucket directory per task.
+        winners = lww_winners_window(
+            self._cluster(batch_df), keys=self.keys, order=LWW_ORDER
+        )
         if winner_transform is not None:
             winners = winner_transform(winners)
         for fld in evolved.fields:  # align batch to evolved schema
             if fld.name not in winners.columns:
                 winners = winners.withColumn(fld.name,
                                              F.lit(None).cast(fld.dataType))
-        winners = winners.select("op", "seq", *payload_names).withColumn(
-            "_bucket", self._bucket_expr(self.keys[0])
-        )
-        winners = winners.persist()
-
-        # 2. Per-bucket lineage (≤ n_buckets rows — safe to collect).
-        lin_rows = [
-            r.asDict()
-            for r in winners.groupBy("_bucket")
-            .agg(
-                F.min("seq").alias("seq_min"),
-                F.max("seq").alias("seq_max"),
-                F.count(F.when(F.col("op") != "D", 1)).alias("rows_applied"),
-                F.count(F.when(F.col("op") == "D", 1)).alias("rows_deleted"),
-            )
-            .collect()
-        ]
-        affected = sorted(r["_bucket"] for r in lin_rows)
-
-        # 3. Copy-on-write: read ONLY affected buckets, merge, rewrite them.
-        old_files = [f for f in self.manifest["files"] if f["bucket"] in set(affected)]
-        target = self._read_files(old_files, schema=evolved)
-        target_ev = target.select(
-            F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
-            F.col("_seq").alias("seq"),
-            *payload_names,
-        ).withColumn("_bucket", self._bucket_expr(self.keys[0]))
-
-        merged = lww_winners(
-            winners.unionByName(target_ev), keys=self.keys, order=LWW_ORDER
-        )
-        store = merged.select(
+        store = winners.select(
             *payload_names,
             F.col("seq").alias("_seq"),
             (F.col("op") == "D").alias("_deleted"),
-            F.col("_bucket"),
-        )
+        ).withColumn("_bucket", self._bucket_expr(self.keys[0]))
 
-        epoch_dir = os.path.join(self.path, "data", f"epoch={epoch}")
+        stage_dir = os.path.join(self.path, "data", f"epoch={epoch}")
         (
-            store.repartition(max(1, len(affected)), "_bucket")
-            .write.mode("overwrite")
+            store.write.mode("overwrite")
             .partitionBy("_bucket")
-            .parquet(epoch_dir)
+            .parquet(stage_dir)
         )
-        winners.unpersist()
+        staged_files = self._list_epoch_files(f"epoch={epoch}")
 
-        new_files = self._list_epoch_files(epoch)
-        keep = [f for f in self.manifest["files"] if f["bucket"] not in set(affected)]
+        # 2. Per-bucket lineage from the staged files: a column-pruned
+        #    parquet scan (seq/_deleted/_bucket), ≤ n_buckets result rows.
+        lin_rows = [
+            r.asDict()
+            for r in self.spark.read.parquet(stage_dir)
+            .groupBy("_bucket")
+            .agg(
+                F.min("_seq").alias("seq_min"),
+                F.max("_seq").alias("seq_max"),
+                F.count(F.when(~F.col("_deleted"), 1)).alias("rows_applied"),
+                F.count(F.when(F.col("_deleted"), 1)).alias("rows_deleted"),
+            )
+            .collect()
+        ]
+        affected = sorted(int(r["_bucket"]) for r in lin_rows)
+
+        # 3. Rewrite only buckets overlapping existing data.
+        old_by_bucket: dict[int, list[dict]] = {}
+        for f in self.manifest["files"]:
+            old_by_bucket.setdefault(f["bucket"], []).append(f)
+        overlap = {b for b in affected if b in old_by_bucket}
+
+        keep = [f for f in self.manifest["files"] if f["bucket"] not in overlap]
+        new_files = [f for f in staged_files if f["bucket"] not in overlap]
+
+        if overlap:
+            old_files = [f for b in overlap for f in old_by_bucket[b]]
+            staged_overlap = [f for f in staged_files if f["bucket"] in overlap]
+
+            def as_events(df: DataFrame) -> DataFrame:
+                return df.select(
+                    F.when(F.col("_deleted"), F.lit("D"))
+                    .otherwise(F.lit("U")).alias("op"),
+                    F.col("_seq").alias("seq"),
+                    *payload_names,
+                )
+
+            merged = lww_winners_window(
+                self._cluster(
+                    as_events(self._read_files(staged_overlap, schema=evolved))
+                    .unionByName(
+                        as_events(self._read_files(old_files, schema=evolved))
+                    )
+                ),
+                keys=self.keys,
+                order=LWW_ORDER,
+            )
+            rewrite = merged.select(
+                *payload_names,
+                F.col("seq").alias("_seq"),
+                (F.col("op") == "D").alias("_deleted"),
+            ).withColumn("_bucket", self._bucket_expr(self.keys[0]))
+            rw_dir = os.path.join(self.path, "data", f"epoch={epoch}.rw")
+            (
+                rewrite.write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(rw_dir)
+            )
+            new_files += self._list_epoch_files(f"epoch={epoch}.rw")
 
         rows_applied = sum(r["rows_applied"] for r in lin_rows)
         rows_deleted = sum(r["rows_deleted"] for r in lin_rows)
@@ -321,10 +375,44 @@ class MicroLakeTable:
             lineage=lineage,
         )
 
+    # ---------------- maintenance ----------------
+
+    def compact(self, drop_tombstones: bool = False) -> int:
+        """Rewrite every multi-file bucket into a single file (Iceberg's
+        rewrite_data_files action). Snapshot-isolated like any commit:
+        readers of the old manifest keep their file list. With
+        ``drop_tombstones`` the delete markers are garbage-collected —
+        only safe once no replayable WAL segment predates them.
+        Returns the number of buckets rewritten."""
+        by_bucket: dict[int, list[dict]] = {}
+        for f in self.manifest["files"]:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        multi = {b: fs for b, fs in by_bucket.items()
+                 if len(fs) > 1 or drop_tombstones}
+        if not multi:
+            return 0
+        files = [f for fs in multi.values() for f in fs]
+        df = self._read_files(files)
+        if drop_tombstones:
+            df = df.filter(~F.col("_deleted"))
+        out = df.withColumn("_bucket", self._bucket_expr(self.keys[0]))
+        epoch = self.last_committed_epoch
+        dirname = f"epoch={epoch}.compact-{self.manifest['version']}"
+        (
+            out.repartition(max(1, len(multi)), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, "data", dirname))
+        )
+        keep = [f for f in self.manifest["files"] if f["bucket"] not in multi]
+        new_files = self._list_epoch_files(dirname)
+        self._commit(epoch, keep + new_files, [], metrics=None)
+        return len(multi)
+
     # ---------------- commit machinery ----------------
 
-    def _list_epoch_files(self, epoch: int) -> list[dict]:
-        epoch_dir = os.path.join(self.path, "data", f"epoch={epoch}")
+    def _list_epoch_files(self, dirname: str) -> list[dict]:
+        epoch_dir = os.path.join(self.path, "data", dirname)
         out: list[dict] = []
         if not os.path.isdir(epoch_dir):
             return out
@@ -336,7 +424,7 @@ class MicroLakeTable:
                 if fn.endswith(".parquet"):
                     out.append(
                         {
-                            "path": os.path.join("data", f"epoch={epoch}", bdir, fn),
+                            "path": os.path.join("data", dirname, bdir, fn),
                             "bucket": bucket,
                         }
                     )
@@ -347,7 +435,7 @@ class MicroLakeTable:
         epoch: int,
         files: list[dict],
         lineage: list[dict],
-        metrics: dict,
+        metrics: dict | None,
         evolved_schema: T.StructType | None = None,
     ) -> None:
         m = dict(self.manifest)
@@ -357,7 +445,9 @@ class MicroLakeTable:
         if evolved_schema is not None:
             m["schema"] = evolved_schema.jsonValue()
         m["lineage"] = self.manifest["lineage"] + lineage
-        m["metrics"] = self.manifest["metrics"] + [metrics]
+        m["metrics"] = self.manifest["metrics"] + (
+            [metrics] if metrics is not None else []
+        )
         self._commit_manifest(m)
         self.manifest = m
 
