@@ -12,11 +12,16 @@ The headline number that matters for BASELINE.json is
 ``merge_events_per_sec``: end-to-end CDC replay (read WAL → normalize →
 LWW dedup → bucketed CoW MERGE commit) measured over the full sf log.
 
---scaling mode: runs the same replay at local[8] and local[32] on the
-same input and reports throughput at both plus efficiency
-(= t32 / (4·t8) throughput ratio), appending the evidence to
-BENCH/BASELINE.md — the sandbox stand-in for the north_rule's N vs 4N
-executor requirement.
+--scaling mode: runs the same MERGE replay at local[8] and local[32]
+on the same input — a dedicated update-heavy WAL (~155M events:
+3.2M conversations × ~40 mutations, zipf-skewed) where compute
+dominates fixed overheads — and reports events/sec at both plus
+efficiency (= eps32 / (4·eps8)), the sandbox stand-in for the
+north_rule's N vs 4N executor requirement. A raw-CPU busy-loop
+baseline at the same two parallelism levels is reported alongside,
+because a single shared-memory VM caps even embarrassingly parallel
+scaling below 1.0. Results land in BENCH/scaling_raw.json (and are
+summarized in BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -26,6 +31,30 @@ import os
 import shutil
 import sys
 import time
+
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "3200000"))
+SCALING_LOG = "/root/repo/data/cdc/scaling/changelog"
+
+
+def _cpu_baseline(levels=(8, 32)) -> dict:
+    """Raw-CPU scaling ceiling of this machine: total busy-loop
+    throughput of N independent processes, no shared state."""
+    import multiprocessing as mp
+
+    def _burn(_):
+        t0 = time.monotonic()
+        x = 0
+        while time.monotonic() - t0 < 2.0:
+            x += 1
+        return x
+
+    out = {}
+    for n in levels:
+        with mp.Pool(n) as p:
+            t0 = time.monotonic()
+            tot = sum(p.map(_burn, range(n)))
+            out[n] = tot / (time.monotonic() - t0)
+    return out
 
 
 def _bench_queries():
@@ -115,32 +144,75 @@ def main() -> None:
         spark.stop()
         return
 
-    # --scaling: same job, two parallelism levels, same input
+    # --scaling: same MERGE replay, two parallelism levels, same input.
+    from tap_github_search_spark.sources.generator import write_changelog
+    from tap_github_search_spark.streaming.job import replay
+
     results = {}
     for n in (8, 32):
         spark = get_spark(cores=n, shuffle_partitions=n)
         spark.sparkContext.setLogLevel("ERROR")
-        # warm the generator cache before timing
-        r = run_suite(spark, sf_dir, f"/root/repo/data/bench/table_{n}")
-        results[n] = r
+        if not (
+            os.path.isdir(SCALING_LOG)
+            and any(f.endswith(".parquet") for f in os.listdir(SCALING_LOG))
+        ):
+            t0 = time.monotonic()
+            write_changelog(
+                spark, SCALING_LOG, SCALING_CONVS, n_files=64,
+                mutations_per_conv=40.0,
+            )
+            print(f"# generated scaling WAL in {time.monotonic()-t0:.0f}s",
+                  file=sys.stderr)
+        n_events = spark.read.parquet(SCALING_LOG).count()
+        times = []
+        for rep in range(3):
+            root = f"/root/repo/data/bench/scaling_table_{n}"
+            shutil.rmtree(root, ignore_errors=True)
+            t0 = time.monotonic()
+            replay(spark, [SCALING_LOG], root, n_buckets=64, n_epochs=1)
+            times.append(round(time.monotonic() - t0, 2))
+            shutil.rmtree(root, ignore_errors=True)
+        results[n] = {
+            "times_sec": times,
+            "best_sec": min(times),
+            "events_per_sec": round(n_events / min(times), 1),
+            "n_events": n_events,
+        }
         spark.stop()
 
-    eps8 = results[8]["merge_events_per_sec"]
-    eps32 = results[32]["merge_events_per_sec"]
+    eps8 = results[8]["events_per_sec"]
+    eps32 = results[32]["events_per_sec"]
     eff = eps32 / (4.0 * eps8)
+    cpu = _cpu_baseline()
+    cpu_eff = cpu[32] / (4.0 * cpu[8])
     out = {
         "metric": "scaling_efficiency_local8_to_local32",
         "value": round(eff, 3),
         "unit": "ratio",
         "events_per_sec": {"local8": eps8, "local32": eps32},
-        "sf": results[32]["sf"],
         "n_events": results[32]["n_events"],
+        "cpu_baseline_efficiency": round(cpu_eff, 3),
+        "normalized_efficiency": round(eff / cpu_eff, 3),
     }
     print(json.dumps(out))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling_raw.json", "w") as f:
-        json.dump({str(k): v for k, v in results.items()} | {"efficiency": eff}, f,
-                  indent=2)
+        json.dump(
+            {str(k): v for k, v in results.items()}
+            | {
+                "efficiency": eff,
+                "cpu_baseline_eps": {str(k): v for k, v in cpu.items()},
+                "cpu_baseline_efficiency": cpu_eff,
+                "normalized_efficiency": eff / cpu_eff,
+                "workload": {
+                    "convs": SCALING_CONVS,
+                    "mutations_per_conv": 40.0,
+                    "log_dir": SCALING_LOG,
+                },
+            },
+            f,
+            indent=2,
+        )
 
 
 if __name__ == "__main__":

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import normalized
-from ..operators.dedup import final_state, lww_winners, lww_winners_salted
+from ..operators.dedup import (
+    final_state,
+    lww_winners,
+    lww_winners_ord,
+    lww_winners_salted,
+)
 from ..sources.generator import changelog_dir, ensure_changelog, sf_from_dir
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -87,6 +92,70 @@ def q_cdc_replay_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", normalized("text").alias("text"),
         "tool", "ts",
     )
+
+
+def q_cdc_replay_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final state via the strict-HashAggregate decimal-ord plan
+    (skinny-shuffle reduce + payload re-join — the update-heavy skew
+    path); oracle identical to the unsalted plan."""
+    w = lww_winners_ord(_log(spark, sf_dir)).filter(F.col("op") != "D")
+    return w.select(
+        "conv_id", "turn_idx", "role", normalized("text").alias("text"),
+        "tool", "ts",
+    )
+
+
+def q_conv_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered transcript re-assembly (U5 page-accumulation analog):
+    one row per conversation with turns concatenated in turn_idx order —
+    sort_array(collect_list(struct)) keeps the aggregation hash-based
+    instead of a window."""
+    fs = final_state(_log(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", normalized("text").alias("text")
+    )
+    turns = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text"))
+    )
+    return fs.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                turns, lambda t: F.concat_ws(": ", t["role"], t["text"])
+            ),
+            "\n",
+        ).alias("transcript"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+SQL_CONV_TRANSCRIPT = f"""
+{_WINNERS_CTE}
+SELECT conv_id,
+       string_agg(role || ': ' || {_NORM}, chr(10) ORDER BY turn_idx)
+         AS transcript,
+       count(*) AS n_turns
+FROM winners WHERE op <> 'D' GROUP BY conv_id
+"""
+
+
+def q_explode_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map→rows unpivot (U1, the languages-map analog): parse the JSON
+    payload as a map and explode to (key, value) rows — from_json +
+    explode instead of per-row json.loads."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,int>")).alias(
+            "key", "value"
+        ),
+    )
+
+
+SQL_EXPLODE_PROPS_MAP = """
+SELECT event_id, unnest(json_keys(props)) AS key,
+       CAST(json_extract_string(props, '$.' || unnest(json_keys(props)))
+            AS INT) AS value
+FROM events
+"""
 
 
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,6 +528,9 @@ SELECT query_id, rank, vec_id, round(s, 4) AS sim FROM sims WHERE rank <= 10
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_replay_transcripts": (q_cdc_replay_transcripts, SQL_CDC_REPLAY),
     "cdc_replay_salted": (q_cdc_replay_salted, SQL_CDC_REPLAY),
+    "cdc_replay_ord": (q_cdc_replay_ord, SQL_CDC_REPLAY),
+    "conv_transcript": (q_conv_transcript, SQL_CONV_TRANSCRIPT),
+    "explode_props_map": (q_explode_props_map, SQL_EXPLODE_PROPS_MAP),
     "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
     "cdc_conv_rollup": (q_cdc_conv_rollup, SQL_CDC_CONV_ROLLUP),
     "cdc_month_fanout": (q_cdc_month_fanout, SQL_CDC_MONTH_FANOUT),
@@ -482,3 +554,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 from .queries_traindata import REGISTRY_TRAINDATA  # noqa: E402
 
 REGISTRY.update(REGISTRY_TRAINDATA)
+# the applyInPandas transcript variant shares this module's oracle
+REGISTRY["conv_transcript_pandas"] = (
+    REGISTRY["conv_transcript_pandas"][0],
+    SQL_CONV_TRANSCRIPT,
+)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.multimodal import byte_features, to_media_table
+from ..functions.normalize import normalized
 from ..functions.simsearch import cosine, sign_bucket
 from ..functions.textops import (
     LANG_PRIORITY,
@@ -478,6 +479,34 @@ SELECT
 """
 
 
+def q_conv_transcript_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow UDF form of transcript assembly (SURVEY.md
+    §2.12 applyInPandas): same result as the collect_list plan, but the
+    per-conversation ordering/formatting runs in pandas — the shape to
+    reach for when per-group logic outgrows SQL expressions."""
+    import pandas as pd
+
+    from .queries import _log
+
+    fs = final_state(_log(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", normalized("text").alias("text")
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "transcript": ["\n".join(pdf["role"] + ": " + pdf["text"])],
+                "n_turns": [len(pdf)],
+            }
+        )
+
+    return fs.groupBy("conv_id").applyInPandas(
+        assemble, "conv_id string, transcript string, n_turns long"
+    )
+
+
 def q_conv_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() window over the replayed final state: turn-index gaps left
     by deletes inside each conversation (transcript-integrity audit)."""
@@ -554,5 +583,6 @@ REGISTRY_TRAINDATA = {
     "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
     "set_ops_keys": (q_set_ops_keys, SQL_SET_OPS),
     "conv_turn_gaps": (q_conv_turn_gaps, _sql_conv_turn_gaps()),
+    "conv_transcript_pandas": (q_conv_transcript_pandas, None),  # set below
     "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
 }
