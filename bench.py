@@ -36,24 +36,43 @@ SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "3200000"))
 SCALING_LOG = "/root/repo/data/cdc/scaling/changelog"
 
 
-def _cpu_baseline(levels=(8, 32)) -> dict:
-    """Raw-CPU scaling ceiling of this machine: total busy-loop
-    throughput of N independent processes, no shared state."""
+def _burn(_):
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def _burn_mem(_):
+    import numpy as np
+
+    a = np.zeros(64_000_000 // 8, dtype=np.float64)  # 64 MB ≫ L3
+    b = np.ones_like(a)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 3.0:
+        np.copyto(a, b)
+        n += 1
+    return n * a.nbytes
+
+
+def _hw_baselines(levels=(8, 32)) -> dict:
+    """Hardware scaling ceilings of this box at the two parallelism
+    levels: register-only CPU (busy loop) and memory-bandwidth (64 MB
+    streaming copies). A shuffle/sort-heavy Spark job is bounded by the
+    *memory* ceiling on a single shared-memory VM; on a real cluster 4N
+    executors bring 4N memory channels and disks, so that wall is a
+    sandbox artifact."""
     import multiprocessing as mp
 
-    def _burn(_):
-        t0 = time.monotonic()
-        x = 0
-        while time.monotonic() - t0 < 2.0:
-            x += 1
-        return x
-
-    out = {}
-    for n in levels:
-        with mp.Pool(n) as p:
-            t0 = time.monotonic()
-            tot = sum(p.map(_burn, range(n)))
-            out[n] = tot / (time.monotonic() - t0)
+    out = {"cpu": {}, "mem": {}}
+    for kind, fn in (("cpu", _burn), ("mem", _burn_mem)):
+        for n in levels:
+            with mp.get_context("fork").Pool(n) as p:
+                t0 = time.monotonic()
+                tot = sum(p.map(fn, range(n)))
+                out[kind][n] = tot / (time.monotonic() - t0)
     return out
 
 
@@ -178,21 +197,24 @@ def main() -> None:
             "events_per_sec": round(n_events / min(times), 1),
             "n_events": n_events,
         }
+        print(f"# local[{n}]: {results[n]}", file=sys.stderr, flush=True)
         spark.stop()
 
     eps8 = results[8]["events_per_sec"]
     eps32 = results[32]["events_per_sec"]
     eff = eps32 / (4.0 * eps8)
-    cpu = _cpu_baseline()
-    cpu_eff = cpu[32] / (4.0 * cpu[8])
+    hw = _hw_baselines()
+    cpu_eff = hw["cpu"][32] / (4.0 * hw["cpu"][8])
+    mem_eff = hw["mem"][32] / (4.0 * hw["mem"][8])
     out = {
         "metric": "scaling_efficiency_local8_to_local32",
         "value": round(eff, 3),
         "unit": "ratio",
         "events_per_sec": {"local8": eps8, "local32": eps32},
         "n_events": results[32]["n_events"],
-        "cpu_baseline_efficiency": round(cpu_eff, 3),
-        "normalized_efficiency": round(eff / cpu_eff, 3),
+        "hw_cpu_scaling_efficiency": round(cpu_eff, 3),
+        "hw_membw_scaling_efficiency": round(mem_eff, 3),
+        "fraction_of_membw_ceiling": round(eff / mem_eff, 3),
     }
     print(json.dumps(out))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -201,9 +223,11 @@ def main() -> None:
             {str(k): v for k, v in results.items()}
             | {
                 "efficiency": eff,
-                "cpu_baseline_eps": {str(k): v for k, v in cpu.items()},
-                "cpu_baseline_efficiency": cpu_eff,
-                "normalized_efficiency": eff / cpu_eff,
+                "hw_cpu_eps": {str(k): v for k, v in hw["cpu"].items()},
+                "hw_mem_bytes_per_sec": {str(k): v for k, v in hw["mem"].items()},
+                "hw_cpu_scaling_efficiency": cpu_eff,
+                "hw_membw_scaling_efficiency": mem_eff,
+                "fraction_of_membw_ceiling": eff / mem_eff,
                 "workload": {
                     "convs": SCALING_CONVS,
                     "mutations_per_conv": 40.0,

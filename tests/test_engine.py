@@ -210,6 +210,40 @@ def test_schema_evolution_adds_columns_nullable(spark, tmp_dir):
     assert snap.filter(F.col("lang").isNotNull()).count() > 0
 
 
+def test_hot_key_extreme_duplication(spark, tmp_dir):
+    """Skew torture: one (conv_id, turn_idx) receives 50k updates in a
+    single batch (north_rule hot-conversation case). The WindowGroupLimit
+    plan must keep only the max-(ts,seq) row, and all LWW variants agree."""
+    n = 50_000
+    hot = spark.range(n).select(
+        (F.col("id") + 10).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("conv_hot").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.concat(F.lit("v"), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("id")).alias("ts"),
+    )
+    base = _events(spark, [(1, "I", "conv_hot", 0, 0), (2, "I", "conv_a", 1, 0)])
+    log = base.unionByName(hot)
+    log.write.mode("overwrite").parquet(f"{tmp_dir}/log")
+
+    table, res = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=4)
+    snap = table.snapshot_df()
+    assert snap.count() == 2
+    winner = snap.filter(F.col("conv_id") == "conv_hot").first()
+    assert winner["text"] == f"v{n - 1}"
+    assert res[0].rows_applied == 2
+
+    df = spark.read.parquet(f"{tmp_dir}/log")
+    a = lww_winners(df)
+    d = lww_winners_ord(df)
+    s = lww_winners_salted(df)
+    assert a.exceptAll(d).count() == 0 and d.exceptAll(a).count() == 0
+    assert a.exceptAll(s).count() == 0 and s.exceptAll(a).count() == 0
+
+
 @pytest.mark.parametrize("seed", [7, 99])
 def test_randomized_interleavings_converge(spark, tmp_dir, seed):
     """Different seeds (op mixes, disorder, duplicates) + odd epoch
