@@ -113,6 +113,15 @@ def run_suite(spark, sf_dir: str, table_root: str) -> dict:
 
     timings: dict[str, float] = {}
 
+    # untimed warmup on the smoke-scale log: JIT + whole-stage-codegen
+    # compilation + Python-worker spin-up land here, not in the
+    # measurement (standard JVM benchmarking practice)
+    ensure_changelog(spark, 0.001)
+    shutil.rmtree(f"{table_root}_warmup", ignore_errors=True)
+    replay(spark, [changelog_dir(0.001)], f"{table_root}_warmup",
+           n_buckets=16, n_epochs=1)
+    shutil.rmtree(f"{table_root}_warmup", ignore_errors=True)
+
     # headline: end-to-end MERGE replay into a fresh table
     shutil.rmtree(table_root, ignore_errors=True)
     t0 = time.monotonic()

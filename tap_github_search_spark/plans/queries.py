@@ -158,6 +158,68 @@ FROM events
 """
 
 
+def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch lineage totals from a real 2-epoch replay through the
+    MicroLake table (north_star: per-partition lineage rows every
+    microbatch). Bucket-level rows depend on the engine's hash layout,
+    so the oracle checks the bucket-summed per-epoch totals, which are
+    pure functions of the WAL: epoch k = winners of the k-th seq slice.
+    """
+    import shutil
+    import uuid
+
+    from ..streaming.job import replay
+
+    sf = sf_from_dir(sf_dir)
+    ensure_changelog(spark, sf)
+    path = f"/root/repo/data/tmp/lineage_q_{uuid.uuid4().hex[:8]}"
+    try:
+        table, _ = replay(
+            spark, [changelog_dir(sf)], path, n_buckets=32, n_epochs=2
+        )
+        rows = (
+            table.lineage_df()
+            .groupBy("commit_epoch")
+            .agg(
+                F.min("seq_min").alias("seq_min"),
+                F.max("seq_max").alias("seq_max"),
+                F.sum("rows_applied").alias("rows_applied"),
+                F.sum("rows_deleted").alias("rows_deleted"),
+            )
+        )
+        rows = rows.localCheckpoint()  # materialize before dir cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return rows
+
+
+# mirrors replay(n_epochs=2): slice k covers seq in [lo+k*step, ...)
+SQL_CDC_LINEAGE = f"""
+WITH bounds AS (
+  SELECT min(seq) AS lo, max(seq) AS hi,
+         greatest(1, (max(seq) - min(seq) + 1) // 2) AS step
+  FROM read_parquet('{_ORACLE_LOG}')
+),
+sliced AS (
+  SELECT l.*, CASE WHEN l.seq < b.lo + b.step THEN 0 ELSE 1 END AS commit_epoch
+  FROM read_parquet('{_ORACLE_LOG}') l, bounds b
+),
+winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY commit_epoch, conv_id, turn_idx
+      ORDER BY ts DESC, seq DESC) AS rn
+    FROM sliced
+  ) WHERE rn = 1
+)
+SELECT commit_epoch,
+       min(seq) AS seq_min, max(seq) AS seq_max,
+       count(*) FILTER (op <> 'D') AS rows_applied,
+       count(*) FILTER (op = 'D') AS rows_deleted
+FROM winners GROUP BY commit_epoch
+"""
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winner-op distribution: how many keys end as insert/update/delete
     (I9 state finalization analog, aggregated)."""
@@ -532,6 +594,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conv_transcript": (q_conv_transcript, SQL_CONV_TRANSCRIPT),
     "explode_props_map": (q_explode_props_map, SQL_EXPLODE_PROPS_MAP),
     "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
+    "cdc_lineage": (q_cdc_lineage, SQL_CDC_LINEAGE),
     "cdc_conv_rollup": (q_cdc_conv_rollup, SQL_CDC_CONV_ROLLUP),
     "cdc_month_fanout": (q_cdc_month_fanout, SQL_CDC_MONTH_FANOUT),
     "cdc_bookmark_antijoin": (q_cdc_bookmark_antijoin, SQL_CDC_BOOKMARK_ANTIJOIN),
