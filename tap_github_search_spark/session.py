@@ -40,7 +40,10 @@ def get_spark(
         )
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        # local mode: the driver JVM is also every executor — size the
+        # heap for the thread count (8g starved 32 threads into GCLocker
+        # stalls on multi-epoch merges at ~10^8 events).
         builder = builder.master(f"local[{cores}]").config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
     return builder.getOrCreate()

@@ -62,6 +62,8 @@ def replay(
     table_path: str,
     n_buckets: int = 64,
     n_epochs: int = 1,
+    merge_mode: str = "cow",
+    dedup: str = "window",
 ) -> tuple[MicroLakeTable, list[MergeResult]]:
     """Batch-replay the whole WAL into a fresh-or-existing table.
 
@@ -75,14 +77,12 @@ def replay(
     )
     log = spark.read.option("mergeSchema", "true").parquet(*log_dirs)
 
+    kw = dict(winner_transform=normalize_events, merge_mode=merge_mode,
+              dedup=dedup)
     results: list[MergeResult] = []
     if n_epochs <= 1:
         results.append(
-            table.merge(
-                log,
-                epoch=table.last_committed_epoch + 1,
-                winner_transform=normalize_events,
-            )
+            table.merge(log, epoch=table.last_committed_epoch + 1, **kw)
         )
         return table, results
 
@@ -93,11 +93,7 @@ def replay(
         b = int(hi) + 1 if i == n_epochs - 1 else a + step
         part = log.filter((F.col("seq") >= a) & (F.col("seq") < b))
         results.append(
-            table.merge(
-                part,
-                epoch=table.last_committed_epoch + 1,
-                winner_transform=normalize_events,
-            )
+            table.merge(part, epoch=table.last_committed_epoch + 1, **kw)
         )
     return table, results
 
@@ -113,6 +109,8 @@ def stream(
     max_files_per_trigger: int | None = 2,
     available_now: bool = True,
     fail_after_batches: int | None = None,
+    merge_mode: str = "cow",
+    dedup: str = "window",
 ):
     """Tail the WAL with a file streaming source and MERGE each
     microbatch. ``foreachBatch(batchId)`` is the commit epoch; Spark
@@ -144,7 +142,9 @@ def stream(
     seen = {"n": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table.merge(batch_df, epoch=batch_id, winner_transform=normalize_events)
+        table.merge(batch_df, epoch=batch_id,
+                    winner_transform=normalize_events,
+                    merge_mode=merge_mode, dedup=dedup)
         seen["n"] += 1
         if fail_after_batches is not None and seen["n"] >= fail_after_batches:
             raise RuntimeError("injected failure for resumability test")

@@ -42,11 +42,11 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import lww_winners_window
+from ..operators.dedup import lww_winners_salted, lww_winners_window
 from ..schema import LWW_ORDER, MERGE_KEYS
 
 META_COLS = ("_seq", "_deleted", "_bucket")
@@ -168,14 +168,32 @@ class MicroLakeTable:
         return df.select(*[f.name for f in meta_schema.fields])
 
     def raw_df(self) -> DataFrame:
-        """All live + tombstone rows with engine metadata."""
+        """All live + tombstone rows with engine metadata (every file
+        generation under MOR — duplicates per key possible)."""
         return self._read_files(self.manifest["files"])
 
-    def snapshot_df(self) -> DataFrame:
-        """User-facing table state: live rows, payload columns only."""
+    def _read_lww(self, df: DataFrame) -> DataFrame:
+        """Read-side LWW across MOR file generations: newest (ts, _seq)
+        row per key wins (tombstones participate, then readers filter)."""
+        order = [c for c in LWW_ORDER[:-1] if c in df.columns] + ["_seq"]
+        w = Window.partitionBy(*self.keys).orderBy(
+            *[F.col(c).desc() for c in order]
+        )
         return (
-            self.raw_df()
-            .filter(~F.col("_deleted"))
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def snapshot_df(self) -> DataFrame:
+        """User-facing table state: live rows, payload columns only.
+        Under MOR (``read_dedup`` set by a generation-appending commit)
+        the per-key winner is resolved here; CoW tables read plain."""
+        df = self.raw_df()
+        if self.manifest.get("read_dedup"):
+            df = self._read_lww(df)
+        return (
+            df.filter(~F.col("_deleted"))
             .select(*[f.name for f in self.schema.fields])
         )
 
@@ -202,8 +220,27 @@ class MicroLakeTable:
         batch_df: DataFrame,
         epoch: int,
         winner_transform=None,
+        merge_mode: str = "cow",
+        dedup: str = "window",
     ) -> MergeResult:
         """Apply one changelog batch with MERGE semantics, exactly once.
+
+        ``merge_mode``:
+          - ``"cow"`` (copy-on-write, default): buckets overlapping
+            existing data are rewritten each epoch — reads stay one file
+            per bucket, writes pay the rewrite.
+          - ``"mor"`` (merge-on-read): staged winner files are appended
+            as a new generation and ``snapshot_df`` resolves LWW at read
+            time — update-heavy streaming sustains much higher apply
+            rates; ``compact()`` folds generations back to one file.
+
+        ``dedup``:
+          - ``"window"`` (default): single-shuffle window + Spark's
+            WindowGroupLimit rank-limit pushdown.
+          - ``"salted"``: explicit two-stage salted reduction first
+            (north_rule hot-conversation skew handling) — a conversation
+            with millions of duplicate events within one batch is
+            pre-reduced across 16 salt shards before the bucket shuffle.
 
         ``winner_transform`` (e.g. the vectorized text normalizer) runs
         AFTER within-batch LWW dedup, so the Python/Arrow exchange sees
@@ -259,9 +296,13 @@ class MicroLakeTable:
         #    Exchange and pushes a WindowGroupLimit rank-limit into the
         #    sort), and because bucket == partition id, `partitionBy`
         #    writes exactly one bucket directory per task.
-        winners = lww_winners_window(
-            self._cluster(batch_df), keys=self.keys, order=LWW_ORDER
-        )
+        if dedup == "salted":
+            pre = lww_winners_salted(batch_df, keys=self.keys, order=LWW_ORDER)
+            winners = self._cluster(pre)
+        else:
+            winners = lww_winners_window(
+                self._cluster(batch_df), keys=self.keys, order=LWW_ORDER
+            )
         if winner_transform is not None:
             winners = winner_transform(winners)
         for fld in evolved.fields:  # align batch to evolved schema
@@ -298,14 +339,24 @@ class MicroLakeTable:
         ]
         affected = sorted(int(r["_bucket"]) for r in lin_rows)
 
-        # 3. Rewrite only buckets overlapping existing data.
+        # 3. Rewrite only buckets overlapping existing data (CoW), or
+        #    append the staged generation and defer to read-time (MOR).
         old_by_bucket: dict[int, list[dict]] = {}
         for f in self.manifest["files"]:
             old_by_bucket.setdefault(f["bucket"], []).append(f)
         overlap = {b for b in affected if b in old_by_bucket}
 
-        keep = [f for f in self.manifest["files"] if f["bucket"] not in overlap]
-        new_files = [f for f in staged_files if f["bucket"] not in overlap]
+        read_dedup = bool(self.manifest.get("read_dedup"))
+        if merge_mode == "mor":
+            keep = list(self.manifest["files"])
+            new_files = list(staged_files)
+            read_dedup = read_dedup or bool(overlap)
+            overlap = set()
+
+        else:
+            keep = [f for f in self.manifest["files"]
+                    if f["bucket"] not in overlap]
+            new_files = [f for f in staged_files if f["bucket"] not in overlap]
 
         if overlap:
             old_files = [f for b in overlap for f in old_by_bucket[b]]
@@ -364,7 +415,8 @@ class MicroLakeTable:
             "merge_ms": merge_ms,
             "throughput_eps": (events_in * 1000.0 / merge_ms) if merge_ms else 0.0,
         }
-        self._commit(epoch, keep + new_files, lineage, metrics, evolved)
+        self._commit(epoch, keep + new_files, lineage, metrics, evolved,
+                     read_dedup=read_dedup)
         return MergeResult(
             epoch=epoch,
             events_in=events_in,
@@ -379,7 +431,9 @@ class MicroLakeTable:
 
     def compact(self, drop_tombstones: bool = False) -> int:
         """Rewrite every multi-file bucket into a single file (Iceberg's
-        rewrite_data_files action). Snapshot-isolated like any commit:
+        rewrite_data_files action), resolving MOR generations with LWW
+        along the way — afterwards the table reads plain again
+        (``read_dedup`` cleared). Snapshot-isolated like any commit:
         readers of the old manifest keep their file list. With
         ``drop_tombstones`` the delete markers are garbage-collected —
         only safe once no replayable WAL segment predates them.
@@ -390,9 +444,16 @@ class MicroLakeTable:
         multi = {b: fs for b, fs in by_bucket.items()
                  if len(fs) > 1 or drop_tombstones}
         if not multi:
+            if self.manifest.get("read_dedup"):
+                # single-generation everywhere → safe to clear the flag
+                self._commit(self.last_committed_epoch,
+                             self.manifest["files"], [], metrics=None,
+                             read_dedup=False)
             return 0
         files = [f for fs in multi.values() for f in fs]
         df = self._read_files(files)
+        if self.manifest.get("read_dedup"):
+            df = self._read_lww(self._cluster(df))
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         out = df.withColumn("_bucket", self._bucket_expr(self.keys[0]))
@@ -406,7 +467,8 @@ class MicroLakeTable:
         )
         keep = [f for f in self.manifest["files"] if f["bucket"] not in multi]
         new_files = self._list_epoch_files(dirname)
-        self._commit(epoch, keep + new_files, [], metrics=None)
+        self._commit(epoch, keep + new_files, [], metrics=None,
+                     read_dedup=False)
         return len(multi)
 
     # ---------------- commit machinery ----------------
@@ -437,11 +499,14 @@ class MicroLakeTable:
         lineage: list[dict],
         metrics: dict | None,
         evolved_schema: T.StructType | None = None,
+        read_dedup: bool | None = None,
     ) -> None:
         m = dict(self.manifest)
         m["version"] = self.manifest["version"] + 1
         m["last_committed_epoch"] = epoch
         m["files"] = files
+        if read_dedup is not None:
+            m["read_dedup"] = read_dedup
         if evolved_schema is not None:
             m["schema"] = evolved_schema.jsonValue()
         m["lineage"] = self.manifest["lineage"] + lineage

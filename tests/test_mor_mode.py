@@ -1,0 +1,105 @@
+"""Merge-on-read mode + salted-dedup mode: same final state as CoW,
+resolved at read time; compaction folds generations back to plain."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tap_github_search_spark.sources.generator import write_changelog
+from tap_github_search_spark.streaming.job import replay, stream
+
+
+def _oracle(log_glob: str) -> pd.DataFrame:
+    return (
+        duckdb.sql(
+            f"""
+        SELECT conv_id, turn_idx, role,
+               nfc_normalize(replace(text, chr(0), '')) AS text, tool, ts
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) rn
+          FROM read_parquet('{log_glob}')
+        ) WHERE rn = 1 AND op <> 'D'
+        """
+        )
+        .df()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df["ts"] = pd.to_datetime(df["ts"], utc=True).astype("datetime64[us, UTC]")
+    return df
+
+
+def test_mor_multi_epoch_replay_matches_oracle_and_cow(spark, tmp_dir):
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=4)
+    mor, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/mor",
+                    n_buckets=8, n_epochs=4, merge_mode="mor")
+    cow, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/cow",
+                    n_buckets=8, n_epochs=4, merge_mode="cow")
+    assert mor.manifest.get("read_dedup") is True
+    got_mor = _canon(mor.snapshot_df().toPandas())
+    got_cow = _canon(cow.snapshot_df().toPandas())
+    oracle = _canon(_oracle(f"{tmp_dir}/log/*.parquet"))
+    pd.testing.assert_frame_equal(got_mor, oracle, check_dtype=False)
+    pd.testing.assert_frame_equal(got_cow, oracle, check_dtype=False)
+    # MOR kept old generations (no rewrite): more files than CoW
+    assert len(mor.manifest["files"]) > len(cow.manifest["files"])
+
+
+def test_mor_compaction_folds_generations(spark, tmp_dir):
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=4)
+    table, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                      n_buckets=8, n_epochs=4, merge_mode="mor")
+    before = _canon(table.snapshot_df().toPandas())
+    assert table.compact() > 0
+    assert table.manifest.get("read_dedup") is False
+    per_bucket = {}
+    for f in table.manifest["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(v == 1 for v in per_bucket.values())
+    after = _canon(table.snapshot_df().toPandas())
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+
+
+def test_mor_tombstone_blocks_resurrection_across_generations(spark, tmp_dir):
+    from tests.test_engine import _events
+
+    # epoch 0: insert + delete (delete wins). epoch 1: stale update with
+    # OLDER ts arrives later — the tombstone generation must still win.
+    e0 = _events(spark, [(1, "I", "c1", 0, 10), (2, "D", "c1", 0, 50)])
+    e1 = _events(spark, [(3, "U", "c1", 0, 20, "stale")])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    e1.write.mode("overwrite").parquet(f"{tmp_dir}/log1")
+    t, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                  n_buckets=4, merge_mode="mor")
+    t.merge(spark.read.parquet(f"{tmp_dir}/log1"), epoch=1, merge_mode="mor")
+    assert t.snapshot_df().filter(F.col("conv_id") == "c1").count() == 0
+
+
+def test_salted_dedup_mode_matches_oracle(spark, tmp_dir):
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=4)
+    t, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                  n_buckets=8, n_epochs=2, dedup="salted")
+    got = _canon(t.snapshot_df().toPandas())
+    oracle = _canon(_oracle(f"{tmp_dir}/log/*.parquet"))
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+
+
+def test_mor_streaming_crash_restart(spark, tmp_dir):
+    write_changelog(spark, f"{tmp_dir}/log", 120, n_files=6)
+    try:
+        stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+               n_buckets=8, fail_after_batches=2, merge_mode="mor")
+    except Exception:
+        pass
+    t = stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+               merge_mode="mor")
+    got = _canon(t.snapshot_df().toPandas())
+    oracle = _canon(_oracle(f"{tmp_dir}/log/*.parquet"))
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
