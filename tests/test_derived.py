@@ -1,0 +1,70 @@
+"""Incremental derived-table (child stream) maintenance tests: the
+rollup table maintained epoch-by-epoch must equal a full recompute from
+the final main-table state, including conversations deleted entirely."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tap_github_search_spark.sources.generator import write_changelog
+from tap_github_search_spark.streaming.derived import RollupMaintainer, conv_rollup
+from tap_github_search_spark.streaming.job import replay
+from tests.test_engine import _events
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("conv_id").reset_index(drop=True)
+    for c in ("first_ts", "last_ts"):
+        pdf[c] = pd.to_datetime(pdf[c], utc=True).astype("datetime64[us, UTC]")
+    return pdf
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_dir):
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=4, delete_pct=30)
+    table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                            n_buckets=8, n_epochs=4)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup")
+    for r in results:
+        maint.apply_epoch(r.epoch)
+
+    got = _canon(
+        maint.child.snapshot_df().drop("ts").toPandas()
+    )
+    expect = _canon(conv_rollup(table.snapshot_df()).toPandas())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_rollup_deletes_emptied_conversation(spark, tmp_dir):
+    # epoch 0 inserts two conversations; epoch 1 deletes every turn of c1
+    e0 = _events(spark, [(1, "I", "c1", 0, 10), (2, "I", "c1", 1, 11),
+                         (3, "I", "c2", 0, 12)])
+    e1 = _events(spark, [(4, "D", "c1", 0, 20), (5, "D", "c1", 1, 21)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    e1.write.mode("overwrite").parquet(f"{tmp_dir}/log1")
+
+    table, res0 = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                         n_buckets=4)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup")
+    maint.apply_epoch(res0[0].epoch)
+    assert maint.child.snapshot_df().count() == 2
+
+    r1 = table.merge(spark.read.parquet(f"{tmp_dir}/log1"), epoch=1)
+    maint.apply_epoch(r1.epoch)
+    snap = maint.child.snapshot_df()
+    assert snap.count() == 1
+    assert snap.first()["conv_id"] == "c2"
+
+
+def test_rollup_epoch_fence(spark, tmp_dir):
+    write_changelog(spark, f"{tmp_dir}/log", 60, n_files=2)
+    table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                            n_buckets=4, n_epochs=2)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup")
+    for r in results:
+        maint.apply_epoch(r.epoch)
+    before = maint.child.snapshot_df().count()
+    # re-applying an already-committed epoch must be a fenced no-op
+    res = maint.apply_epoch(results[-1].epoch)
+    assert res.skipped
+    assert maint.child.snapshot_df().count() == before
