@@ -432,6 +432,42 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
 """
 
 
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup by
+    embedding): LSH-bucket blocking then exact cosine ≥ 0.35 within
+    buckets — the O(N²) pair space never materializes."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), 8))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                   "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                   "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= 0.35)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+"""
+
+
 def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension corpus stats via posexplode (positional zip, §2.7
     J2 analog): the embedding-column profiling step before quantization."""
@@ -580,6 +616,7 @@ REGISTRY_TRAINDATA = {
     "docs_rolling_hash": (q_docs_rolling_hash, SQL_ROLLING_HASH),
     "mm_byte_features": (q_mm_byte_features, SQL_MM_BYTE_FEATURES),
     "emb_lsh_ann": (q_emb_lsh_ann, SQL_EMB_LSH_ANN),
+    "emb_near_dup_pairs": (q_emb_near_dup_pairs, SQL_EMB_NEAR_DUP),
     "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
     "set_ops_keys": (q_set_ops_keys, SQL_SET_OPS),
     "conv_turn_gaps": (q_conv_turn_gaps, _sql_conv_turn_gaps()),

@@ -535,6 +535,81 @@ class MicroLakeTable:
             os.fsync(f.fileno())
         os.replace(ptr_tmp, os.path.join(self.path, "_current"))
 
+    # ---------------- time travel / change feed ----------------
+
+    def history(self) -> list[dict]:
+        """All committed snapshot versions (manifest catalog): version,
+        epoch, file count — Iceberg's snapshots metadata table."""
+        mdir = os.path.join(self.path, "_manifests")
+        out = []
+        for name in sorted(os.listdir(mdir)):
+            if not name.startswith("manifest-"):
+                continue
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "last_committed_epoch": m["last_committed_epoch"],
+                    "n_files": len(m["files"]),
+                    "read_dedup": bool(m.get("read_dedup")),
+                }
+            )
+        return out
+
+    def snapshot_at(self, version: int) -> DataFrame:
+        """Time travel: the user-facing state as of an older version."""
+        return MicroLakeTable.load(self.spark, self.path, version).snapshot_df()
+
+    def change_feed(self, from_version: int, to_version: int | None = None
+                    ) -> DataFrame:
+        """CDC *out*: the net row-level changes between two snapshot
+        versions (Delta CDF / Iceberg changelog-scan analog), computed
+        as a keyed full-outer diff of the two snapshots. Emits
+        `_change_type` ∈ insert | update | delete. Net-effect semantics:
+        intermediate rewrites within the interval are collapsed."""
+        old = MicroLakeTable.load(self.spark, self.path, from_version)
+        new = (
+            self
+            if to_version is None
+            else MicroLakeTable.load(self.spark, self.path, to_version)
+        )
+        payload = [f.name for f in new.schema.fields]
+        non_key = [c for c in payload if c not in self.keys]
+        keys = list(self.keys)
+
+        o = old.snapshot_df()
+        for f in new.schema.fields:  # older version may predate columns
+            if f.name not in o.columns:
+                o = o.withColumn(f.name, F.lit(None).cast(f.dataType))
+        o = o.select(
+            *keys, *[F.col(c).alias(f"_o_{c}") for c in non_key]
+        ).withColumn("_o", F.lit(True))
+        n = new.snapshot_df().select(
+            *keys, *[F.col(c).alias(f"_n_{c}") for c in non_key]
+        ).withColumn("_n", F.lit(True))
+
+        j = o.join(n, keys, "full_outer")
+        any_changed = F.lit(False)
+        for c in non_key:
+            any_changed = any_changed | ~F.col(f"_o_{c}").eqNullSafe(
+                F.col(f"_n_{c}")
+            )
+        change = (
+            F.when(F.col("_o").isNull(), F.lit("insert"))
+            .when(F.col("_n").isNull(), F.lit("delete"))
+            .when(any_changed, F.lit("update"))
+        )
+        out_cols = [F.col(k) for k in keys] + [
+            F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+            for c in non_key
+        ]
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+
     # ---------------- lineage / metrics views ----------------
 
     def lineage_df(self) -> DataFrame:

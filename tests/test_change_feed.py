@@ -1,0 +1,61 @@
+"""Time travel + change-data-feed (CDC out) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tap_github_search_spark.streaming.job import replay
+from tests.test_engine import _events
+
+
+def test_history_and_time_travel(spark, tmp_dir):
+    e0 = _events(spark, [(1, "I", "c1", 0, 10), (2, "I", "c2", 0, 11)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=4)
+    v1 = table.manifest["version"]
+    e1 = _events(spark, [(3, "U", "c1", 0, 20, "new"), (4, "D", "c2", 0, 21)])
+    table.merge(e1, epoch=1)
+    hist = table.history()
+    assert [h["version"] for h in hist] == list(range(len(hist)))
+    assert table.snapshot_at(v1).count() == 2
+    assert table.snapshot_df().count() == 1
+
+
+def test_change_feed_insert_update_delete(spark, tmp_dir):
+    e0 = _events(spark, [(1, "I", "c1", 0, 10, "a"),
+                         (2, "I", "c2", 0, 11, "b"),
+                         (3, "I", "c3", 0, 12, "c")])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=4)
+    v1 = table.manifest["version"]
+    e1 = _events(spark, [(4, "U", "c1", 0, 20, "a2"),   # update
+                         (5, "D", "c2", 0, 21),          # delete
+                         (6, "I", "c4", 0, 22, "d")])    # insert
+    table.merge(e1, epoch=1)
+
+    feed = {
+        (r["conv_id"], r["_change_type"]): r
+        for r in table.change_feed(v1).collect()
+    }
+    assert set(feed) == {("c1", "update"), ("c2", "delete"), ("c4", "insert")}
+    assert feed[("c1", "update")]["text"] == "a2"
+    assert feed[("c2", "delete")]["text"] == "b"   # pre-image for deletes
+    assert feed[("c4", "insert")]["text"] == "d"
+    # unchanged c3 is absent; full interval net-effect
+    assert table.change_feed(v1, table.manifest["version"]).count() == 3
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_dir):
+    e0 = _events(spark, [(1, "I", "c1", 0, 10, "a")])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=4)
+    v1 = table.manifest["version"]
+    # evolved batch adds a column
+    e1 = _events(spark, [(2, "U", "c1", 0, 20, "a2")]).withColumn(
+        "lang", F.lit("en")
+    )
+    table.merge(e1, epoch=1)
+    rows = table.change_feed(v1).collect()
+    assert len(rows) == 1
+    assert rows[0]["_change_type"] == "update"
+    assert rows[0]["lang"] == "en"
