@@ -575,6 +575,48 @@ SELECT conv_id, turn_idx, prev_turn, turn_idx - prev_turn AS gap FROM (
 """
 
 
+def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-table join (region→nation→customer/supplier→
+    orders→lineitem): the deep broadcast-chain shape Catalyst should
+    plan with all dimension sides broadcast and one shuffle on the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_LOCAL_SUPPLIER = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary on lineitem (classic scan →
     filter-pushdown → hash-aggregate shape; §2.5 coverage)."""
@@ -622,4 +664,5 @@ REGISTRY_TRAINDATA = {
     "conv_turn_gaps": (q_conv_turn_gaps, _sql_conv_turn_gaps()),
     "conv_transcript_pandas": (q_conv_transcript_pandas, None),  # set below
     "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
+    "tpch_local_supplier": (q_tpch_local_supplier, SQL_TPCH_LOCAL_SUPPLIER),
 }

@@ -74,6 +74,7 @@ METRICS_SCHEMA = T.StructType(
     [
         T.StructField("commit_epoch", T.LongType(), nullable=False),
         T.StructField("events_in", T.LongType(), nullable=False),
+        T.StructField("events_rejected", T.LongType(), nullable=False),
         T.StructField("events_deduped", T.LongType(), nullable=False),
         T.StructField("merge_ms", T.LongType(), nullable=False),
         T.StructField("throughput_eps", T.DoubleType(), nullable=False),

@@ -280,8 +280,8 @@ class MicroLakeTable:
         events_in = batch_df.count()
         if events_in == 0:
             self._commit(epoch, self.manifest["files"], [], {
-                "commit_epoch": epoch, "events_in": 0, "events_deduped": 0,
-                "merge_ms": 0, "throughput_eps": 0.0,
+                "commit_epoch": epoch, "events_in": 0, "events_rejected": 0,
+                "events_deduped": 0, "merge_ms": 0, "throughput_eps": 0.0,
             })
             return MergeResult(epoch=epoch)
 
@@ -296,12 +296,24 @@ class MicroLakeTable:
         #    Exchange and pushes a WindowGroupLimit rank-limit into the
         #    sort), and because bucket == partition id, `partitionBy`
         #    writes exactly one bucket directory per task.
+        # Reject malformed events (null merge keys) instead of poisoning
+        # the bucket layout; counted via an Observation piggybacked on
+        # the staged write — no extra pass. Reference analog: tolerated
+        # error responses (/root/reference/tap_github/client.py:324-370).
+        from pyspark.sql import Observation
+
+        valid = batch_df
+        for k in self.keys:
+            valid = valid.filter(F.col(k).isNotNull())
+        obs = Observation(f"merge_valid_{epoch}")
+        valid = valid.observe(obs, F.count(F.lit(1)).alias("n_valid"))
+
         if dedup == "salted":
-            pre = lww_winners_salted(batch_df, keys=self.keys, order=LWW_ORDER)
+            pre = lww_winners_salted(valid, keys=self.keys, order=LWW_ORDER)
             winners = self._cluster(pre)
         else:
             winners = lww_winners_window(
-                self._cluster(batch_df), keys=self.keys, order=LWW_ORDER
+                self._cluster(valid), keys=self.keys, order=LWW_ORDER
             )
         if winner_transform is not None:
             winners = winner_transform(winners)
@@ -322,6 +334,7 @@ class MicroLakeTable:
             .parquet(stage_dir)
         )
         staged_files = self._list_epoch_files(f"epoch={epoch}")
+        events_rejected = int(events_in) - int(obs.get["n_valid"])
 
         # 2. Per-bucket lineage from the staged files: a column-pruned
         #    parquet scan (seq/_deleted/_bucket), ≤ n_buckets result rows.
@@ -411,6 +424,7 @@ class MicroLakeTable:
         metrics = {
             "commit_epoch": epoch,
             "events_in": int(events_in),
+            "events_rejected": events_rejected,
             "events_deduped": int(rows_applied + rows_deleted),
             "merge_ms": merge_ms,
             "throughput_eps": (events_in * 1000.0 / merge_ms) if merge_ms else 0.0,

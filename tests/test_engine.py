@@ -210,6 +210,30 @@ def test_schema_evolution_adds_columns_nullable(spark, tmp_dir):
     assert snap.filter(F.col("lang").isNotNull()).count() > 0
 
 
+def test_null_key_events_rejected_not_poisoning(spark, tmp_dir):
+    """Malformed events (null merge keys) are dropped and accounted in
+    metrics, never written into the bucket layout."""
+    rows = [
+        (1, "I", "c1", 0, "user", "ok", None, _ts(10)),
+        (2, "I", None, 0, "user", "bad-conv", None, _ts(11)),
+        (3, "I", "c2", None, "user", "bad-turn", None, _ts(12)),
+    ]
+    # upstream contract says keys are non-null; a hostile/buggy producer
+    # wouldn't honor it, so build the frame with an all-nullable schema
+    df = spark.createDataFrame(
+        rows,
+        "seq long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_dir}/log")
+    table, res = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=4)
+    assert res[0].events_in == 3
+    snap = table.snapshot_df().collect()
+    assert len(snap) == 1 and snap[0]["conv_id"] == "c1"
+    m = table.metrics_df().first()
+    assert m["events_rejected"] == 2
+
+
 def test_hot_key_extreme_duplication(spark, tmp_dir):
     """Skew torture: one (conv_id, turn_idx) receives 50k updates in a
     single batch (north_rule hot-conversation case). The WindowGroupLimit
