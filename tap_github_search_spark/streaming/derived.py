@@ -71,10 +71,18 @@ class RollupMaintainer:
 
     def affected_conv_ids(self, epoch: int) -> DataFrame:
         """Distinct conv_ids staged in the given epoch — a skinny scan
-        of that epoch's staged winner files only."""
-        stage_dir = os.path.join(self.main.path, "data", f"epoch={epoch}")
+        of that epoch's staged winner files only (stage dirs carry a
+        writer-unique tag: ``epoch=N-<tag>``; rewrite/compact dirs have
+        further suffixes and are excluded)."""
+        data = os.path.join(self.main.path, "data")
+        prefix = f"epoch={epoch}-"
+        dirs = [
+            os.path.join(data, d)
+            for d in os.listdir(data)
+            if d.startswith(prefix) and "." not in d[len(prefix):]
+        ]
         return (
-            self.spark.read.parquet(stage_dir)
+            self.spark.read.parquet(*dirs)
             .select("conv_id").distinct()
         )
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -50,6 +51,12 @@ from ..operators.dedup import lww_winners_salted, lww_winners_window
 from ..schema import LWW_ORDER, MERGE_KEYS
 
 META_COLS = ("_seq", "_deleted", "_bucket")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this snapshot version first (optimistic
+    concurrency conflict). Reload the table and retry the merge — the
+    epoch fence makes retries idempotent."""
 
 
 @dataclass
@@ -327,13 +334,18 @@ class MicroLakeTable:
             (F.col("op") == "D").alias("_deleted"),
         ).withColumn("_bucket", self._bucket_expr(self.keys[0]))
 
-        stage_dir = os.path.join(self.path, "data", f"epoch={epoch}")
+        # writer-unique dirname: a losing concurrent writer must never
+        # overwrite data files the winner's manifest already references
+        # (the manifest CAS alone fires too late to protect files)
+        commit_tag = uuid.uuid4().hex[:8]
+        stage_name = f"epoch={epoch}-{commit_tag}"
+        stage_dir = os.path.join(self.path, "data", stage_name)
         (
             store.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(stage_dir)
         )
-        staged_files = self._list_epoch_files(f"epoch={epoch}")
+        staged_files = self._list_epoch_files(stage_name)
         events_rejected = int(events_in) - int(obs.get["n_valid"])
 
         # 2. Per-bucket lineage from the staged files: a column-pruned
@@ -398,13 +410,14 @@ class MicroLakeTable:
                 F.col("seq").alias("_seq"),
                 (F.col("op") == "D").alias("_deleted"),
             ).withColumn("_bucket", self._bucket_expr(self.keys[0]))
-            rw_dir = os.path.join(self.path, "data", f"epoch={epoch}.rw")
+            rw_name = f"epoch={epoch}-{commit_tag}.rw"
+            rw_dir = os.path.join(self.path, "data", rw_name)
             (
                 rewrite.write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(rw_dir)
             )
-            new_files += self._list_epoch_files(f"epoch={epoch}.rw")
+            new_files += self._list_epoch_files(rw_name)
 
         rows_applied = sum(r["rows_applied"] for r in lin_rows)
         rows_deleted = sum(r["rows_deleted"] for r in lin_rows)
@@ -472,7 +485,7 @@ class MicroLakeTable:
             df = df.filter(~F.col("_deleted"))
         out = df.withColumn("_bucket", self._bucket_expr(self.keys[0]))
         epoch = self.last_committed_epoch
-        dirname = f"epoch={epoch}.compact-{self.manifest['version']}"
+        dirname = f"epoch={epoch}.compact-{uuid.uuid4().hex[:8]}"
         (
             out.repartition(max(1, len(multi)), "_bucket")
             .write.mode("overwrite")
@@ -532,10 +545,21 @@ class MicroLakeTable:
 
     def _commit_manifest(self, manifest: dict) -> None:
         """Write manifest-{v}.json then atomically swap the pointer.
-        A crash between the two leaves an orphan manifest — harmless."""
+        A crash between the two leaves an orphan manifest — harmless.
+
+        Optimistic concurrency: the manifest version this writer is
+        about to publish must not already exist — a concurrent writer
+        that committed first wins and this commit raises instead of
+        silently clobbering its snapshot (Iceberg's CAS-on-metadata
+        semantics; callers may reload + retry)."""
         mdir = os.path.join(self.path, "_manifests")
         os.makedirs(mdir, exist_ok=True)
         name = f"manifest-{manifest['version']:08d}.json"
+        if manifest["version"] > 0 and os.path.exists(os.path.join(mdir, name)):
+            raise ConcurrentCommitError(
+                f"snapshot version {manifest['version']} already committed "
+                f"by another writer (table {self.path})"
+            )
         tmp = os.path.join(mdir, f".tmp-{name}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)

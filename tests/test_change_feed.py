@@ -8,6 +8,33 @@ from tap_github_search_spark.streaming.job import replay
 from tests.test_engine import _events
 
 
+def test_concurrent_commit_conflict_raises(spark, tmp_dir):
+    """Optimistic concurrency: two writers loaded at the same version —
+    the second commit must fail loudly, not clobber the first snapshot."""
+    import pytest
+
+    from tap_github_search_spark.table.microlake import (
+        ConcurrentCommitError,
+        MicroLakeTable,
+    )
+
+    e0 = _events(spark, [(1, "I", "c1", 0, 10)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=4)
+
+    w1 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    w2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    e1 = _events(spark, [(2, "U", "c1", 0, 20, "w1")])
+    e2 = _events(spark, [(3, "U", "c1", 0, 30, "w2")])
+    w1.merge(e1, epoch=1)
+    with pytest.raises(ConcurrentCommitError):
+        w2.merge(e2, epoch=1)
+    # w1's snapshot survived; a reload + fenced retry is a no-op
+    fresh = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert fresh.snapshot_df().first()["text"] == "w1"
+    assert fresh.merge(e2, epoch=1).skipped
+
+
 def test_history_and_time_travel(spark, tmp_dir):
     e0 = _events(spark, [(1, "I", "c1", 0, 10), (2, "I", "c2", 0, 11)])
     e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
