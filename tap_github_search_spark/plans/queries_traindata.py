@@ -337,6 +337,36 @@ FROM m
 """
 
 
+def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish (task brief): word-or-punct segmentation
+    via regexp count, next to the whitespace count. Explicit ASCII
+    classes so Java regex and DuckDB RE2 agree on non-Latin text
+    (each CJK codepoint counts as one punct-class token both sides)."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+    n_ws = F.size(tokens(F.col("text")))
+    n_bpe = F.regexp_count(F.col("text"), F.lit(pat))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_bpe.cast("double") / F.nullif(n_ws, F.lit(0)), 4)
+        .alias("bpe_per_ws"),
+    )
+
+
+SQL_DOCS_BPE_TOKENS = r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+    AS n_bpe_tokens,
+  round(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::DOUBLE
+        / nullif(len(regexp_split_to_array(trim(text), '\s+')), 0), 4)
+    AS bpe_per_ws
+FROM documents
+"""
+
+
 def q_docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint over the token stream —
     unlike the sha256 fingerprint, prefix-equal docs get related
@@ -656,6 +686,7 @@ REGISTRY_TRAINDATA = {
     "docs_lang_id": (q_docs_lang_id, SQL_LANG_ID),
     "docs_quality": (q_docs_quality, SQL_QUALITY),
     "docs_rolling_hash": (q_docs_rolling_hash, SQL_ROLLING_HASH),
+    "docs_bpe_tokens": (q_docs_bpe_tokens, SQL_DOCS_BPE_TOKENS),
     "mm_byte_features": (q_mm_byte_features, SQL_MM_BYTE_FEATURES),
     "emb_lsh_ann": (q_emb_lsh_ann, SQL_EMB_LSH_ANN),
     "emb_near_dup_pairs": (q_emb_near_dup_pairs, SQL_EMB_NEAR_DUP),

@@ -573,6 +573,34 @@ class MicroLakeTable:
             os.fsync(f.fileno())
         os.replace(ptr_tmp, os.path.join(self.path, "_current"))
 
+    # ---------------- point lookup ----------------
+
+    def lookup(self, key_value: str, turn_idx: int | None = None) -> DataFrame:
+        """O(1-bucket) point lookup: hash the key to its bucket, read
+        only that bucket's files, and let the (conv_id, turn_idx)
+        predicate push into the parquet scan — the staged sort order
+        (clustered by key) keeps row-group stats tight. The per-key
+        read cost is table_size / n_buckets regardless of table size."""
+        bucket = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.hash(F.lit(key_value)), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .first()["b"]
+        )
+        files = [f for f in self.manifest["files"] if f["bucket"] == bucket]
+        df = self._read_files(files)
+        if self.manifest.get("read_dedup"):
+            df = self._read_lww(df)
+        df = df.filter(~F.col("_deleted")).filter(
+            F.col(self.keys[0]) == key_value
+        )
+        if turn_idx is not None and len(self.keys) > 1:
+            df = df.filter(F.col(self.keys[1]) == turn_idx)
+        return df.select(*[f.name for f in self.schema.fields])
+
     # ---------------- time travel / change feed ----------------
 
     def history(self) -> list[dict]:

@@ -72,6 +72,29 @@ def test_change_feed_insert_update_delete(spark, tmp_dir):
     assert table.change_feed(v1, table.manifest["version"]).count() == 3
 
 
+def test_point_lookup_reads_one_bucket(spark, tmp_dir):
+    from tap_github_search_spark.sources.generator import write_changelog
+
+    write_changelog(spark, f"{tmp_dir}/log", 200, n_files=4)
+    table, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=16)
+    # full-table answer for one conversation
+    want = sorted(
+        (r["turn_idx"], r["text"])
+        for r in table.snapshot_df()
+        .filter(F.col("conv_id") == "conv_00000007").collect()
+    )
+    assert want  # conversation exists
+    got = sorted(
+        (r["turn_idx"], r["text"])
+        for r in table.lookup("conv_00000007").collect()
+    )
+    assert got == want
+    one = table.lookup("conv_00000007", turn_idx=want[0][0]).collect()
+    assert len(one) == 1 and one[0]["text"] == want[0][1]
+    # missing key → empty, still single-bucket read
+    assert table.lookup("conv_nonexistent").count() == 0
+
+
 def test_change_feed_across_schema_evolution(spark, tmp_dir):
     e0 = _events(spark, [(1, "I", "c1", 0, 10, "a")])
     e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
