@@ -498,6 +498,39 @@ class MicroLakeTable:
                      read_dedup=False)
         return len(multi)
 
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Delete data files referenced by NO retained manifest version
+        (orphans from losing concurrent writers, compaction, rewrites).
+        ``keep_versions`` newest manifests stay time-travelable; older
+        manifests are dropped so their exclusive files become orphans.
+        Returns the number of files deleted. (Iceberg's
+        expire_snapshots + remove_orphan_files.)"""
+        mdir = os.path.join(self.path, "_manifests")
+        names = sorted(
+            n for n in os.listdir(mdir) if n.startswith("manifest-")
+        )
+        keep_versions = max(1, keep_versions)
+        retained, dropped = names[-keep_versions:], names[:-keep_versions]
+        referenced: set[str] = set()
+        for n in retained:
+            with open(os.path.join(mdir, n)) as f:
+                referenced |= {x["path"] for x in json.load(f)["files"]}
+        deleted = 0
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.path)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    deleted += 1
+        for dirpath, dirs, files in os.walk(data_root, topdown=False):
+            if not dirs and not files and dirpath != data_root:
+                os.rmdir(dirpath)
+        for n in dropped:
+            os.remove(os.path.join(mdir, n))
+        return deleted
+
     # ---------------- commit machinery ----------------
 
     def _list_epoch_files(self, dirname: str) -> list[dict]:

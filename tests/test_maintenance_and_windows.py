@@ -63,6 +63,36 @@ def test_compaction_drop_tombstones(spark, tmp_dir):
     assert table.snapshot_df().count() == live
 
 
+def test_vacuum_removes_orphans_keeps_snapshot(spark, tmp_dir):
+    import os
+
+    write_changelog(spark, f"{tmp_dir}/log", 120, n_files=4, delete_pct=30)
+    table, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                      n_buckets=8, n_epochs=3)
+    table.compact(drop_tombstones=True)  # creates orphaned generations
+    before = table.snapshot_df().orderBy("conv_id", "turn_idx").collect()
+
+    def count_parquet(root):
+        return sum(
+            fn.endswith(".parquet")
+            for _, _, files in os.walk(os.path.join(root, "data"))
+            for fn in files
+        )
+
+    on_disk = count_parquet(f"{tmp_dir}/t")
+    referenced = len(table.manifest["files"])
+    assert on_disk > referenced  # orphans exist pre-vacuum
+
+    deleted = table.vacuum(keep_versions=1)
+    assert deleted == on_disk - referenced
+    assert count_parquet(f"{tmp_dir}/t") == referenced
+    after = table.snapshot_df().orderBy("conv_id", "turn_idx").collect()
+    assert before == after
+    # older manifests expired; current still loads
+    reloaded = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert reloaded.manifest["version"] == table.manifest["version"]
+
+
 def test_streaming_window_counts_match_batch(spark, tmp_dir):
     write_changelog(spark, f"{tmp_dir}/log", 150, n_files=4)
     streamed = stream_window_counts(
