@@ -220,6 +220,41 @@ FROM winners GROUP BY commit_epoch
 """
 
 
+def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator in streaming/sessions.py): sessions of event activity per
+    conversation, 1 h gap. Distinct (conv_id, ts) first so tied
+    timestamps (duplicate deliveries) cannot make lag/cumsum frame
+    semantics diverge between engines."""
+    from ..streaming.sessions import batch_sessions
+
+    ev = _log(spark, sf_dir).select("conv_id", "ts").distinct()
+    return batch_sessions(ev, gap_s=3600)
+
+
+SQL_CONV_SESSIONS = f"""
+WITH e AS (
+  SELECT DISTINCT conv_id, ts FROM read_parquet('{_ORACLE_LOG}')
+),
+b AS (
+  SELECT conv_id, ts,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY conv_id ORDER BY ts) > 3600
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT conv_id, ts,
+    CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+         ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM b
+)
+SELECT conv_id, session_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM s GROUP BY conv_id, session_id
+"""
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winner-op distribution: how many keys end as insert/update/delete
     (I9 state finalization analog, aggregated)."""
@@ -595,6 +630,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "explode_props_map": (q_explode_props_map, SQL_EXPLODE_PROPS_MAP),
     "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
     "cdc_lineage": (q_cdc_lineage, SQL_CDC_LINEAGE),
+    "conv_sessions": (q_conv_sessions, SQL_CONV_SESSIONS),
     "cdc_conv_rollup": (q_cdc_conv_rollup, SQL_CDC_CONV_ROLLUP),
     "cdc_month_fanout": (q_cdc_month_fanout, SQL_CDC_MONTH_FANOUT),
     "cdc_bookmark_antijoin": (q_cdc_bookmark_antijoin, SQL_CDC_BOOKMARK_ANTIJOIN),

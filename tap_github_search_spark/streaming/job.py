@@ -111,6 +111,7 @@ def stream(
     fail_after_batches: int | None = None,
     merge_mode: str = "cow",
     dedup: str = "window",
+    rollup_path: str | None = None,
 ):
     """Tail the WAL with a file streaming source and MERGE each
     microbatch. ``foreachBatch(batchId)`` is the commit epoch; Spark
@@ -139,12 +140,33 @@ def stream(
         part = part.select(*[f.name for f in schema.fields])
         src = part if src is None else src.unionByName(part)
 
+    maintainer = None
+    if rollup_path is not None:
+        from .derived import RollupMaintainer
+
+        maintainer = RollupMaintainer(spark, table, rollup_path)
+
     seen = {"n": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table.merge(batch_df, epoch=batch_id,
-                    winner_transform=normalize_events,
-                    merge_mode=merge_mode, dedup=dedup)
+        res = table.merge(batch_df, epoch=batch_id,
+                          winner_transform=normalize_events,
+                          merge_mode=merge_mode, dedup=dedup)
+        if maintainer is not None:
+            # Child rides the same epoch, fenced independently. Crucially
+            # it must ALSO run when the parent skipped (crash landed
+            # between parent commit and child commit → restart re-delivers
+            # the batch, parent no-ops, child still has to catch up).
+            behind = maintainer.child.last_committed_epoch < batch_id
+            staged = res.events_in > 0 or res.skipped
+            if behind and staged:
+                try:
+                    maintainer.apply_epoch(batch_id)
+                except Exception:
+                    if not res.skipped:
+                        raise
+                    # skipped parent + unreadable stage (e.g. empty epoch
+                    # never staged) → nothing to catch up
         seen["n"] += 1
         if fail_after_batches is not None and seen["n"] >= fail_after_batches:
             raise RuntimeError("injected failure for resumability test")

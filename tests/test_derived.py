@@ -56,6 +56,26 @@ def test_rollup_deletes_emptied_conversation(spark, tmp_dir):
     assert snap.first()["conv_id"] == "c2"
 
 
+def test_streaming_rollup_crash_restart(spark, tmp_dir):
+    """stream(rollup_path=...) maintains the child per microbatch; after
+    a crash + restart the child equals a full recompute of the parent."""
+    from tap_github_search_spark.streaming.job import stream
+
+    write_changelog(spark, f"{tmp_dir}/log", 120, n_files=6, delete_pct=25)
+    try:
+        stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+               n_buckets=8, fail_after_batches=2,
+               rollup_path=f"{tmp_dir}/rollup")
+    except Exception:
+        pass
+    table = stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                   f"{tmp_dir}/ckpt", rollup_path=f"{tmp_dir}/rollup")
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup")
+    got = _canon(maint.child.snapshot_df().drop("ts").toPandas())
+    expect = _canon(conv_rollup(table.snapshot_df()).toPandas())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 def test_rollup_epoch_fence(spark, tmp_dir):
     write_changelog(spark, f"{tmp_dir}/log", 60, n_files=2)
     table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
