@@ -17,6 +17,19 @@ Modes:
             MERGE per microbatch (availableNow by default; --follow
             keeps tailing new files).
   gen     — write a deterministic synthetic changelog (testing/bench).
+  run     — config-driven job: ``run --config job.json`` or env
+            ``SPARK_CDC_CONFIG`` / ``SPARK_CDC_CONFIG_B64`` (mutually
+            exclusive, validated — mirroring the reference's
+            TAP_GITHUB_SEARCH_CONFIG[_B64] handling,
+            /root/reference/tap_github_search/tap.py:16-33).
+
+Config shape for ``run``::
+
+    {"mode": "stream" | "replay",
+     "log_dirs": ["/data/wal"], "table": "/lake/t",
+     "checkpoint": "/lake/_ckpt", "buckets": 512,
+     "merge_mode": "cow" | "mor", "dedup": "window" | "salted",
+     "rollup_path": "/lake/t_rollup", "epochs": 1, "follow": false}
 
 On a local checkout the same commands run without spark-submit:
 ``python -m tap_github_search_spark.cli replay ...`` — the session is
@@ -27,8 +40,47 @@ provided session/master (from spark-submit) wins.
 from __future__ import annotations
 
 import argparse
+import base64
 import json
+import os
 import sys
+
+REQUIRED_CONFIG_KEYS = {"mode", "log_dirs", "table"}
+VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
+    "checkpoint", "buckets", "merge_mode", "dedup", "rollup_path",
+    "epochs", "follow", "cores",
+}
+
+
+def load_job_config(path: str | None) -> dict:
+    """Config file, or SPARK_CDC_CONFIG (raw JSON), or
+    SPARK_CDC_CONFIG_B64 (base64 JSON) — exactly one source, validated."""
+    env_raw = os.environ.get("SPARK_CDC_CONFIG")
+    env_b64 = os.environ.get("SPARK_CDC_CONFIG_B64")
+    sources = [s for s in (path, env_raw, env_b64) if s]
+    if len(sources) != 1:
+        raise SystemExit(
+            "provide exactly one of --config, SPARK_CDC_CONFIG, "
+            f"SPARK_CDC_CONFIG_B64 (got {len(sources)})"
+        )
+    if path:
+        with open(path) as f:
+            cfg = json.load(f)
+    elif env_raw:
+        cfg = json.loads(env_raw)
+    else:
+        cfg = json.loads(base64.b64decode(env_b64))
+    missing = REQUIRED_CONFIG_KEYS - set(cfg)
+    unknown = set(cfg) - VALID_CONFIG_KEYS
+    if missing:
+        raise SystemExit(f"config missing keys: {sorted(missing)}")
+    if unknown:
+        raise SystemExit(f"unknown config keys: {sorted(unknown)}")
+    if cfg["mode"] not in ("replay", "stream"):
+        raise SystemExit(f"config mode must be replay|stream: {cfg['mode']}")
+    if cfg["mode"] == "stream" and "checkpoint" not in cfg:
+        raise SystemExit("stream mode requires 'checkpoint'")
+    return cfg
 
 
 def _parser() -> argparse.ArgumentParser:
@@ -38,6 +90,8 @@ def _parser() -> argparse.ArgumentParser:
     rp = sub.add_parser("replay", help="batch-replay WAL into the lake table")
     st = sub.add_parser("stream", help="tail WAL via Structured Streaming")
     gn = sub.add_parser("gen", help="generate a synthetic changelog")
+    rn = sub.add_parser("run", help="config-driven job (file or env)")
+    rn.add_argument("--config", default=None, help="job config JSON path")
 
     for q in (rp, st):
         q.add_argument("--log-dir", action="append", required=True,
@@ -67,6 +121,28 @@ def _parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
 
+    if args.mode == "run":
+        cfg = load_job_config(args.config)
+        argv2 = [cfg["mode"]]  # rebuild argv for the underlying mode
+        for d in cfg["log_dirs"]:
+            argv2 += ["--log-dir", d]
+        argv2 += ["--table", cfg["table"],
+                  "--buckets", str(cfg.get("buckets", 64))]
+        if cfg["mode"] == "replay":
+            argv2 += ["--epochs", str(cfg.get("epochs", 1))]
+        else:
+            argv2 += ["--checkpoint", cfg["checkpoint"]]
+            if cfg.get("follow"):
+                argv2 += ["--follow"]
+        if cfg.get("cores"):
+            argv2 += ["--cores", str(cfg["cores"])]
+        args = _parser().parse_args(argv2)
+        args.merge_mode = cfg.get("merge_mode", "cow")
+        args.dedup = cfg.get("dedup", "window")
+        args.rollup_path = cfg.get("rollup_path")
+    else:
+        args.merge_mode, args.dedup, args.rollup_path = "cow", "window", None
+
     from .session import get_spark
 
     spark = get_spark(cores=args.cores)
@@ -87,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
         table, results = replay(
             spark, args.log_dir, args.table,
             n_buckets=args.buckets, n_epochs=args.epochs,
+            merge_mode=args.merge_mode, dedup=args.dedup,
         )
         for r in results:
             print(json.dumps({
@@ -103,6 +180,8 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.follow,
+        merge_mode=args.merge_mode, dedup=args.dedup,
+        rollup_path=args.rollup_path,
     )
     print(json.dumps({
         "last_committed_epoch": table.last_committed_epoch,
