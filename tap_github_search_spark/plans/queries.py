@@ -371,6 +371,52 @@ GROUP BY e.conv_id
 # Aggregation family on driver tables (SURVEY.md §2.5 A1-A4, §2.6)
 # =====================================================================
 
+#: the config-driven search templates of the reference
+#: (ConfigurableSearchCountStream, search_count_streams.py:463-514),
+#: re-expressed as named predicates over the events table
+SEARCH_CONFIGS = [
+    ("errors", "event_type = 'error'"),
+    ("big_value", "value > 500"),
+    ("clicks_or_views", "event_type IN ('click', 'view')"),
+]
+
+
+def q_search_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline capability — configurable search-count
+    streams: one count per (search template × month × key). Each
+    config entry is a named predicate; where the reference issues
+    months×orgs GraphQL count requests with batched aliases and
+    adaptive strategies (search_count_streams.py:163-345), Spark folds
+    the whole template set into unioned grouped aggregates in one job."""
+    ev = _t(spark, sf_dir, "events")
+    month = F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM")
+    parts = [
+        ev.filter(F.expr(pred))
+        .groupBy(month.alias("month"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(name).alias("search"), "month", "user_id", "n")
+        for name, pred in SEARCH_CONFIGS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_search_counts() -> str:
+    selects = [
+        f"""SELECT '{name}' AS search,
+       strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       user_id, count(*) AS n
+FROM events WHERE {pred} GROUP BY 2, 3"""
+        for name, pred in SEARCH_CONFIGS
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_SEARCH_COUNTS = _sql_search_counts()
+
+
 def q_agg_monthly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-bucketed grouped counts (A1/A4 — the search-count analog:
     count per (month, type) partition)."""
@@ -634,6 +680,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_conv_rollup": (q_cdc_conv_rollup, SQL_CDC_CONV_ROLLUP),
     "cdc_month_fanout": (q_cdc_month_fanout, SQL_CDC_MONTH_FANOUT),
     "cdc_bookmark_antijoin": (q_cdc_bookmark_antijoin, SQL_CDC_BOOKMARK_ANTIJOIN),
+    "search_counts": (q_search_counts, SQL_SEARCH_COUNTS),
     "agg_monthly_counts": (q_agg_monthly_counts, SQL_AGG_MONTHLY),
     "agg_user_counts": (q_agg_user_counts, SQL_AGG_USER),
     "join_enrich_orders": (q_join_enrich_orders, SQL_JOIN_ENRICH),
