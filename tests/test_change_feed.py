@@ -72,6 +72,51 @@ def test_change_feed_insert_update_delete(spark, tmp_dir):
     assert table.change_feed(v1, table.manifest["version"]).count() == 3
 
 
+def test_crash_between_data_write_and_commit(spark, tmp_dir, monkeypatch):
+    """A merge that dies after staging data but before the manifest
+    commit must leave the table unchanged; the retried merge applies
+    cleanly and vacuum removes the orphaned staged files."""
+    import os
+
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    e0 = _events(spark, [(1, "I", "c1", 0, 10)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=4)
+    v_before = table.manifest["version"]
+
+    e1 = _events(spark, [(2, "U", "c1", 0, 20, "after-crash")])
+    real_commit = MicroLakeTable._commit
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(MicroLakeTable, "_commit", boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        table.merge(e1, epoch=1)
+    monkeypatch.setattr(MicroLakeTable, "_commit", real_commit)
+
+    # table state is exactly the pre-crash snapshot
+    fresh = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert fresh.manifest["version"] == v_before
+    assert fresh.snapshot_df().first()["text"] == "t1"
+    # retry applies cleanly (new writer-unique stage dir)
+    fresh.merge(e1, epoch=1)
+    assert fresh.snapshot_df().first()["text"] == "after-crash"
+    # vacuum removes the crashed attempt's orphaned files
+    def count_parquet(root):
+        return sum(
+            fn.endswith(".parquet")
+            for _, _, files in os.walk(os.path.join(root, "data"))
+            for fn in files
+        )
+    assert count_parquet(f"{tmp_dir}/t") > len(fresh.manifest["files"])
+    fresh.vacuum(keep_versions=1)
+    assert count_parquet(f"{tmp_dir}/t") == len(fresh.manifest["files"])
+    assert fresh.snapshot_df().first()["text"] == "after-crash"
+
+
 def test_point_lookup_reads_one_bucket(spark, tmp_dir):
     from tap_github_search_spark.sources.generator import write_changelog
 
