@@ -82,6 +82,45 @@ def test_mor_tombstone_blocks_resurrection_across_generations(spark, tmp_dir):
     assert t.snapshot_df().filter(F.col("conv_id") == "c1").count() == 0
 
 
+def test_mor_with_schema_evolution_matches_oracle(spark, tmp_dir):
+    """MOR generations written under different schemas: read-side LWW
+    must resolve winners across generations while old files surface the
+    evolved columns as NULL."""
+    from tap_github_search_spark.sources.generator import TURN_SPAN
+
+    write_changelog(spark, f"{tmp_dir}/log", 120, n_files=3)
+    write_changelog(spark, f"{tmp_dir}/log_ev", 30, n_files=2, evolved=True,
+                    seq_offset=120 * TURN_SPAN * 2)
+    t, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                  n_buckets=8, n_epochs=2, merge_mode="mor")
+    from tap_github_search_spark.streaming.job import normalize_events
+
+    t.merge(
+        spark.read.parquet(f"{tmp_dir}/log_ev"),
+        epoch=t.last_committed_epoch + 1,
+        merge_mode="mor",
+        winner_transform=normalize_events,
+    )
+    got = t.snapshot_df().toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    oracle = duckdb.sql(f"""
+        SELECT conv_id, turn_idx, role,
+               nfc_normalize(replace(text, chr(0), '')) AS text,
+               tool, ts, tool_version, lang
+        FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, seq DESC) rn
+              FROM read_parquet(['{tmp_dir}/log/*.parquet',
+                                 '{tmp_dir}/log_ev/*.parquet'],
+                                union_by_name=true))
+        WHERE rn = 1 AND op <> 'D'
+    """).df().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for df in (got, oracle):
+        df["ts"] = pd.to_datetime(df["ts"], utc=True).astype(
+            "datetime64[us, UTC]")
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+    assert got["lang"].notna().sum() > 0 and got["lang"].isna().sum() > 0
+
+
 def test_salted_dedup_mode_matches_oracle(spark, tmp_dir):
     write_changelog(spark, f"{tmp_dir}/log", 150, n_files=4)
     t, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
