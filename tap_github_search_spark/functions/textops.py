@@ -15,7 +15,8 @@ Scale notes:
  - The LSH candidate join shuffles on (band_idx, band_key) — at 100 TB
    this is the standard band-bucket join; bucket width is tuned by
    (n_hashes, band_size), and hot band buckets (boilerplate text) are
-   bounded by an optional per-bucket cap upstream.
+   bounded by ``cap_buckets`` (deterministic salt-split), which turns
+   the within-bucket pair blowup from O(s²) to O(s·cap).
  - SimHash is one explode + hash-aggregate (map-side combinable).
 """
 
@@ -70,6 +71,53 @@ def lsh_bands(n_hashes: int = 8, band_size: int = 2) -> list[Column]:
         member = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
         bands.append(F.md5(F.concat_ws("|", *member)).alias(f"band{b}"))
     return bands
+
+
+def cap_buckets(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Bound LSH hot buckets: buckets with > ``cap`` members are
+    salt-split into ceil(size/cap) sub-buckets by a deterministic md5
+    salt of the member id, rewriting the LAST bucket column (as string,
+    ``<key>#<sub>``). A self-join on the rewritten key then produces
+    O(size·cap) candidate pairs per hot bucket instead of O(size²) —
+    the boilerplate-text / all-zero-region failure mode at corpus scale.
+    Recall is only lost inside buckets that exceeded the cap (pairs
+    split across sub-buckets), which is exactly the boilerplate mass a
+    dedup pipeline wants bounded. Sub-quadratic behavior is
+    test-enforced (tests/test_traindata_ops.py).
+
+    The salt is md5-based (not ``F.hash``) so a DuckDB oracle can
+    replicate the split exactly: salt = (ascii(h[0])*256 + ascii(h[1]))
+    mod n_sub, h = md5(cast(id as string)).
+
+    Plan shape: one map-side-combinable size aggregate over the skinny
+    banded frame, broadcast back (the over-cap bucket list is tiny by
+    construction) — no extra full shuffle."""
+    key = bucket_cols[-1]
+    hot = (
+        df.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > cap)
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    salt = F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    n_sub = F.ceil(F.col("_bsz") / F.lit(float(cap))).cast("int")
+    salted = F.when(
+        F.col("_bsz").isNotNull(),
+        F.concat(
+            F.col(key).cast("string"), F.lit("#"),
+            F.pmod(salt, n_sub).cast("string"),
+        ),
+    ).otherwise(F.col(key).cast("string"))
+    return (
+        df.join(F.broadcast(hot), bucket_cols, "left")
+        .withColumn(key, salted)
+        .drop("_bsz")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

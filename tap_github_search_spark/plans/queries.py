@@ -387,20 +387,34 @@ def q_search_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     config entry is a named predicate; where the reference issues
     months×orgs GraphQL count requests with batched aliases and
     adaptive strategies (search_count_streams.py:163-345), Spark folds
-    the whole template set into unioned grouped aggregates in one job."""
+    the whole template set into ONE conditional aggregate: a single
+    scan + single shuffle regardless of how many templates are
+    configured (a filtered-groupBy-per-template union would rescan the
+    fact table K times — a real tax at 100 TB; single-scan is
+    test-enforced in test_plans.py). The wide per-group counts are then
+    unpivoted with an explode over a literal template array, keeping
+    only matched groups — exactly the rows the reference would emit."""
     ev = _t(spark, sf_dir, "events")
     month = F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM")
-    parts = [
-        ev.filter(F.expr(pred))
-        .groupBy(month.alias("month"), F.col("user_id"))
-        .agg(F.count("*").alias("n"))
-        .select(F.lit(name).alias("search"), "month", "user_id", "n")
-        for name, pred in SEARCH_CONFIGS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    wide = ev.groupBy(month.alias("month"), F.col("user_id")).agg(
+        *[
+            F.count(F.when(F.expr(pred), 1)).alias(f"_n_{name}")
+            for name, pred in SEARCH_CONFIGS
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("search"), F.col(f"_n_{name}").alias("n")
+            )
+            for name, _pred in SEARCH_CONFIGS
+        ]
+    )
+    return (
+        wide.select("month", "user_id", F.explode(pairs).alias("p"))
+        .select("p.search", "month", "user_id", "p.n")
+        .filter(F.col("n") > 0)
+    )
 
 
 def _sql_search_counts() -> str:

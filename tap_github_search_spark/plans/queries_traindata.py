@@ -17,8 +17,14 @@ from pyspark.sql import functions as F
 
 from ..functions.multimodal import byte_features, to_media_table
 from ..functions.normalize import normalized
-from ..functions.simsearch import cosine, sign_bucket
+from ..functions.simsearch import (
+    ANN_TARGET_PER_BUCKET,
+    ann_bits,
+    cosine,
+    sign_bucket_dynamic,
+)
 from ..functions.textops import (
+    cap_buckets,
     LANG_PRIORITY,
     ROLL_MOD,
     ROLL_MULT,
@@ -72,11 +78,18 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ================================================================ dedup
 
+#: per-band-bucket member cap for MinHash LSH (salt-split above this)
+MINHASH_BUCKET_CAP = 50
+
+
 def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 hashes) + LSH(4 bands × 2 rows) near-dup candidate
     pairs, verified with exact Jaccard ≥ 0.3. The band-bucket equi-join
     is the 100 TB scale path: pair space shrinks from O(N²) to shared
-    band buckets only."""
+    band buckets only — and hot buckets (boilerplate text collapsing
+    thousands of docs into one band key) are salt-split at
+    ``MINHASH_BUCKET_CAP`` members so no bucket ever goes quadratic
+    (VERDICT r1 #3a; bound test-enforced in test_traindata_ops.py)."""
     sets = _shingle_sets(spark, sf_dir)
     sig = sets.select("doc_id", "sh", *minhash_signature(F.col("sh"), 8))
     banded = sig.select(
@@ -84,6 +97,9 @@ def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[b for b in lsh_bands(8, 2)])).alias(
             "band_idx", "band_key"
         ),
+    )
+    banded = cap_buckets(
+        banded, ["band_idx", "band_key"], "doc_id", MINHASH_BUCKET_CAP
     )
     cand = (
         banded.alias("a")
@@ -128,9 +144,23 @@ mh AS (
 bands AS (
   {bands}
 ),
+bsz AS (
+  SELECT band_idx, band_key, count(*) AS sz FROM bands GROUP BY 1, 2
+),
+capped AS (
+  SELECT b.doc_id, b.band_idx,
+    CASE WHEN s.sz > {MINHASH_BUCKET_CAP}
+         THEN b.band_key || '#' || CAST(
+           (ascii(substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1)) * 256
+            + ascii(substr(md5(CAST(b.doc_id AS VARCHAR)), 2, 1)))
+           % CAST(ceil(s.sz / {MINHASH_BUCKET_CAP}.0) AS INT) AS VARCHAR)
+         ELSE b.band_key END AS band_key
+  FROM bands b JOIN bsz s
+    ON s.band_idx = b.band_idx AND s.band_key = b.band_key
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
 ),
@@ -407,16 +437,35 @@ FROM documents
 
 # ====================================================== similarity search
 
-def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: bit-sampling LSH buckets (sign of first 8 dims);
-    each query (vec_id < 50) probes only its own bucket for top-3
-    cosine neighbors. The join shuffles on the bucket key — O(N) work
-    per probe instead of O(N²) brute force."""
+#: per-sign-bucket member cap for the embedding ANN paths
+ANN_BUCKET_CAP = 16
+
+
+def _ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, bucket): sign-LSH buckets with corpus-scaled bit
+    width (``ann_bits``: expected ~4 members/bucket at any N) and hot
+    buckets salt-split at ``ANN_BUCKET_CAP`` members — the two guards
+    that keep within-bucket all-pairs work linear in N (VERDICT r1
+    #3b: a fixed 8-bit bucket is O(N²/256) at corpus scale)."""
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    emb = emb.withColumn("bucket", sign_bucket(F.col("v"), 8))
+    bits = emb.agg(ann_bits(F.count(F.lit(1))).alias("_bits"))
+    emb = (
+        emb.crossJoin(F.broadcast(bits))
+        .withColumn("bucket", sign_bucket_dynamic(F.col("v"), F.col("_bits")))
+        .drop("_bits")
+    )
+    return cap_buckets(emb, ["bucket"], "vec_id", ANN_BUCKET_CAP)
+
+
+def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: bit-sampling LSH buckets (corpus-scaled bit
+    width, capped buckets — see ``_ann_buckets``); each query
+    (vec_id < 50) probes only its own bucket for top-3 cosine
+    neighbors. The join shuffles on the bucket key — O(bucket) work
+    per probe instead of O(N) brute force."""
+    emb = _ann_buckets(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -435,16 +484,43 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dynamic-width sign bucket: bits beyond the corpus-scaled count are
+# masked off — mirrors functions.simsearch.sign_bucket_dynamic
 _BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(8)
+    f"(CASE WHEN {i} < bits.b AND embedding[{i+1}] >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(24)
 )
 
-SQL_EMB_LSH_ANN = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
+# corpus-scaled bit count — mirrors functions.simsearch.ann_bits
+_BITS_SQL = f"""
+bits AS (
+  SELECT CAST(LEAST(24, GREATEST(4,
+    ceil(log2(count(*) / {ANN_TARGET_PER_BUCKET}.0)))) AS INT) AS b
   FROM embeddings
+)"""
+
+# salt-split of over-cap buckets — mirrors functions.textops.cap_buckets
+_ANN_CAP_SQL = f"""
+e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bkt
+  FROM embeddings, bits
 ),
+bsz AS (SELECT bkt, count(*) AS sz FROM e0 GROUP BY bkt),
+e AS (
+  SELECT e0.vec_id, e0.v,
+    CASE WHEN sz > {ANN_BUCKET_CAP}
+         THEN CAST(bkt AS VARCHAR) || '#' || CAST(
+           (ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) * 256
+            + ascii(substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)))
+           % CAST(ceil(sz / {ANN_BUCKET_CAP}.0) AS INT) AS VARCHAR)
+         ELSE CAST(bkt AS VARCHAR) END AS bucket
+  FROM e0 JOIN bsz USING (bkt)
+)"""
+
+SQL_EMB_LSH_ANN = f"""
+WITH {_BITS_SQL.strip()},
+{_ANN_CAP_SQL.strip()},
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 50),
 sims AS (
   SELECT q.query_id, e.vec_id,
@@ -464,11 +540,11 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
 
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup by
-    embedding): LSH-bucket blocking then exact cosine ≥ 0.35 within
-    buckets — the O(N²) pair space never materializes."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", sign_bucket(F.col("v"), 8))
+    embedding): LSH-bucket blocking (corpus-scaled bits + hot-bucket
+    cap, see ``_ann_buckets``) then exact cosine ≥ 0.35 within buckets
+    — the O(N²) pair space never materializes, and no single bucket
+    goes quadratic."""
+    emb = _ann_buckets(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                    "bucket")
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
@@ -483,10 +559,8 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMB_NEAR_DUP = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
-  FROM embeddings
-)
+WITH {_BITS_SQL.strip()},
+{_ANN_CAP_SQL.strip()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v))

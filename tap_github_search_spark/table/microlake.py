@@ -55,8 +55,12 @@ META_COLS = ("_seq", "_deleted", "_bucket")
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this snapshot version first (optimistic
-    concurrency conflict). Reload the table and retry the merge — the
-    epoch fence makes retries idempotent."""
+    concurrency conflict). Recovery: reload the table, then retry the
+    merge with a NEW epoch derived from the reloaded state
+    (``last_committed_epoch + 1``). Retrying with the *same* epoch is
+    only correct for duplicate deliveries of the same batch — the epoch
+    fence turns it into a no-op, so a losing writer carrying a
+    *different* batch would silently drop its data."""
 
 
 @dataclass
@@ -229,6 +233,7 @@ class MicroLakeTable:
         winner_transform=None,
         merge_mode: str = "cow",
         dedup: str = "window",
+        max_payload_bytes: int | None = None,
     ) -> MergeResult:
         """Apply one changelog batch with MERGE semantics, exactly once.
 
@@ -248,6 +253,14 @@ class MicroLakeTable:
             (north_rule hot-conversation skew handling) — a conversation
             with millions of duplicate events within one batch is
             pre-reduced across 16 salt shards before the bucket shuffle.
+
+        ``max_payload_bytes``: optional S7-style large-blob guard — events
+        whose ``text`` payload exceeds the cap are rejected (counted in
+        ``events_rejected``) instead of poisoning the table. Reference
+        analog: the 40 MiB diff-fetch cap with tolerated error rows
+        (/root/reference/tap_github/client.py:324-370). Use
+        ``operators.payload_guard`` upstream to *retain* typed
+        ``{success, error_message}`` rows for the rejects.
 
         ``winner_transform`` (e.g. the vectorized text normalizer) runs
         AFTER within-batch LWW dedup, so the Python/Arrow exchange sees
@@ -284,14 +297,6 @@ class MicroLakeTable:
         if epoch <= self.last_committed_epoch:
             return MergeResult(epoch=epoch, skipped=True)
 
-        events_in = batch_df.count()
-        if events_in == 0:
-            self._commit(epoch, self.manifest["files"], [], {
-                "commit_epoch": epoch, "events_in": 0, "events_rejected": 0,
-                "events_deduped": 0, "merge_ms": 0, "throughput_eps": 0.0,
-            })
-            return MergeResult(epoch=epoch)
-
         added = self._evolve_schema(batch_df.schema)
         evolved = T.StructType(list(self.schema.fields) + added)
         payload_names = [f.name for f in evolved.fields]
@@ -303,17 +308,30 @@ class MicroLakeTable:
         #    Exchange and pushes a WindowGroupLimit rank-limit into the
         #    sort), and because bucket == partition id, `partitionBy`
         #    writes exactly one bucket directory per task.
-        # Reject malformed events (null merge keys) instead of poisoning
-        # the bucket layout; counted via an Observation piggybacked on
-        # the staged write — no extra pass. Reference analog: tolerated
-        # error responses (/root/reference/tap_github/client.py:324-370).
+        # Reject malformed events (null merge keys; oversize payloads
+        # when capped) instead of poisoning the bucket layout. BOTH the
+        # input count and the valid count ride one Observation on the
+        # staged write — the WAL batch is scanned exactly once (a
+        # separate `batch_df.count()` would double read amplification
+        # on the hottest path in the engine). Reference analog:
+        # tolerated error responses
+        # (/root/reference/tap_github/client.py:324-370).
         from pyspark.sql import Observation
 
-        valid = batch_df
+        accept = F.lit(True)
         for k in self.keys:
-            valid = valid.filter(F.col(k).isNotNull())
-        obs = Observation(f"merge_valid_{epoch}")
-        valid = valid.observe(obs, F.count(F.lit(1)).alias("n_valid"))
+            accept = accept & F.col(k).isNotNull()
+        if max_payload_bytes is not None and "text" in batch_df.columns:
+            accept = accept & (
+                F.coalesce(F.octet_length("text"), F.lit(0))
+                <= F.lit(int(max_payload_bytes))
+            )
+        obs = Observation(f"merge_obs_{epoch}_{uuid.uuid4().hex[:6]}")
+        valid = batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.count(F.when(accept, 1)).alias("n_valid"),
+        ).filter(accept)
 
         if dedup == "salted":
             pre = lww_winners_salted(valid, keys=self.keys, order=LWW_ORDER)
@@ -346,11 +364,12 @@ class MicroLakeTable:
             .parquet(stage_dir)
         )
         staged_files = self._list_epoch_files(stage_name)
-        events_rejected = int(events_in) - int(obs.get["n_valid"])
+        events_in = int(obs.get["n_in"])
+        events_rejected = events_in - int(obs.get["n_valid"])
 
         # 2. Per-bucket lineage from the staged files: a column-pruned
         #    parquet scan (seq/_deleted/_bucket), ≤ n_buckets result rows.
-        lin_rows = [
+        lin_rows = [] if not staged_files else [
             r.asDict()
             for r in self.spark.read.parquet(stage_dir)
             .groupBy("_bucket")
@@ -498,13 +517,21 @@ class MicroLakeTable:
                      read_dedup=False)
         return len(multi)
 
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(self, keep_versions: int = 1,
+               grace_seconds: float = 3600.0) -> int:
         """Delete data files referenced by NO retained manifest version
         (orphans from losing concurrent writers, compaction, rewrites).
         ``keep_versions`` newest manifests stay time-travelable; older
         manifests are dropped so their exclusive files become orphans.
         Returns the number of files deleted. (Iceberg's
-        expire_snapshots + remove_orphan_files.)"""
+        expire_snapshots + remove_orphan_files.)
+
+        ``grace_seconds``: files younger than this are never deleted,
+        even when unreferenced — a concurrent in-flight merge stages its
+        data files BEFORE its manifest commit, so without the age cutoff
+        vacuum would delete the stage of a merge about to win (Iceberg's
+        remove_orphan_files ``older_than`` guard). Pass 0 only when the
+        caller holds exclusive access to the table."""
         mdir = os.path.join(self.path, "_manifests")
         names = sorted(
             n for n in os.listdir(mdir) if n.startswith("manifest-")
@@ -516,12 +543,14 @@ class MicroLakeTable:
             with open(os.path.join(mdir, n)) as f:
                 referenced |= {x["path"] for x in json.load(f)["files"]}
         deleted = 0
+        cutoff = time.time() - grace_seconds
         data_root = os.path.join(self.path, "data")
         for dirpath, _dirs, files in os.walk(data_root):
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.path)
-                if fn.endswith(".parquet") and rel not in referenced:
+                if (fn.endswith(".parquet") and rel not in referenced
+                        and os.path.getmtime(full) <= cutoff):
                     os.remove(full)
                     deleted += 1
         for dirpath, dirs, files in os.walk(data_root, topdown=False):
@@ -580,25 +609,32 @@ class MicroLakeTable:
         """Write manifest-{v}.json then atomically swap the pointer.
         A crash between the two leaves an orphan manifest — harmless.
 
-        Optimistic concurrency: the manifest version this writer is
-        about to publish must not already exist — a concurrent writer
-        that committed first wins and this commit raises instead of
-        silently clobbering its snapshot (Iceberg's CAS-on-metadata
-        semantics; callers may reload + retry)."""
+        Optimistic concurrency: publishing is an atomic create-if-absent
+        (``os.link`` of a writer-unique temp onto the version-named
+        manifest — link(2) fails with EEXIST if the name is taken, the
+        filesystem CAS). Two racing writers can never both succeed; the
+        loser raises ``ConcurrentCommitError`` instead of silently
+        clobbering the winner's snapshot (Iceberg's CAS-on-metadata
+        semantics). A check-then-act ``exists()`` test would race."""
         mdir = os.path.join(self.path, "_manifests")
         os.makedirs(mdir, exist_ok=True)
         name = f"manifest-{manifest['version']:08d}.json"
-        if manifest["version"] > 0 and os.path.exists(os.path.join(mdir, name)):
-            raise ConcurrentCommitError(
-                f"snapshot version {manifest['version']} already committed "
-                f"by another writer (table {self.path})"
-            )
-        tmp = os.path.join(mdir, f".tmp-{name}")
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:8]}-{name}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(mdir, name))
+        final = os.path.join(mdir, name)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot version {manifest['version']} already committed "
+                f"by another writer (table {self.path}); reload and retry "
+                f"with epoch = last_committed_epoch + 1"
+            ) from None
+        finally:
+            os.remove(tmp)
         ptr_tmp = os.path.join(self.path, "._current.tmp")
         with open(ptr_tmp, "w") as f:
             f.write(name)
@@ -613,16 +649,11 @@ class MicroLakeTable:
         only that bucket's files, and let the (conv_id, turn_idx)
         predicate push into the parquet scan — the staged sort order
         (clustered by key) keeps row-group stats tight. The per-key
-        read cost is table_size / n_buckets regardless of table size."""
-        bucket = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.hash(F.lit(key_value)), F.lit(self.n_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .first()["b"]
-        )
+        read cost is table_size / n_buckets regardless of table size.
+        The bucket hash is computed driver-side in pure Python (parity
+        with ``F.hash`` is test-enforced) — a point lookup must not
+        cost a Spark job just to hash one key."""
+        bucket = murmur3_x86_32(key_value.encode("utf-8")) % self.n_buckets
         files = [f for f in self.manifest["files"] if f["bucket"] == bucket]
         df = self._read_files(files)
         if self.manifest.get("read_dedup"):
@@ -660,13 +691,33 @@ class MicroLakeTable:
         """Time travel: the user-facing state as of an older version."""
         return MicroLakeTable.load(self.spark, self.path, version).snapshot_df()
 
-    def change_feed(self, from_version: int, to_version: int | None = None
-                    ) -> DataFrame:
+    def _snapshot_buckets(self, buckets: set[int]) -> DataFrame:
+        """This version's user-facing state restricted to a bucket
+        subset — reads only those buckets' files."""
+        files = [f for f in self.manifest["files"] if f["bucket"] in buckets]
+        df = self._read_files(files)
+        if self.manifest.get("read_dedup"):
+            df = self._read_lww(df)
+        return (
+            df.filter(~F.col("_deleted"))
+            .select(*[f.name for f in self.schema.fields])
+        )
+
+    def change_feed(self, from_version: int, to_version: int | None = None,
+                    full_scan: bool = False) -> DataFrame:
         """CDC *out*: the net row-level changes between two snapshot
-        versions (Delta CDF / Iceberg changelog-scan analog), computed
-        as a keyed full-outer diff of the two snapshots. Emits
+        versions (Delta CDF / Iceberg changelog-scan analog). Emits
         `_change_type` ∈ insert | update | delete. Net-effect semantics:
-        intermediate rewrites within the interval are collapsed."""
+        intermediate rewrites within the interval are collapsed.
+
+        Incremental by default: the manifest lineage records exactly
+        which buckets each epoch in the interval touched, and a key's
+        bucket never changes, so only those buckets' files (old + new
+        side) are read and diffed — cost proportional to data touched in
+        the interval, not table size (Iceberg's changelog scan reads
+        only the snapshots' added files the same way). ``full_scan=True``
+        diffs the two whole snapshots instead — the independent oracle
+        the incremental path is tested against."""
         old = MicroLakeTable.load(self.spark, self.path, from_version)
         new = (
             self
@@ -677,14 +728,26 @@ class MicroLakeTable:
         non_key = [c for c in payload if c not in self.keys]
         keys = list(self.keys)
 
-        o = old.snapshot_df()
+        if not full_scan:
+            lo = old.last_committed_epoch
+            hi = new.last_committed_epoch
+            touched = {
+                int(ln["partition_id"])
+                for ln in new.manifest["lineage"]
+                if lo < ln["commit_epoch"] <= hi
+            }
+            o = old._snapshot_buckets(touched)
+            n_df = new._snapshot_buckets(touched)
+        else:
+            o = old.snapshot_df()
+            n_df = new.snapshot_df()
         for f in new.schema.fields:  # older version may predate columns
             if f.name not in o.columns:
                 o = o.withColumn(f.name, F.lit(None).cast(f.dataType))
         o = o.select(
             *keys, *[F.col(c).alias(f"_o_{c}") for c in non_key]
         ).withColumn("_o", F.lit(True))
-        n = new.snapshot_df().select(
+        n = n_df.select(
             *keys, *[F.col(c).alias(f"_n_{c}") for c in non_key]
         ).withColumn("_n", F.lit(True))
 
@@ -734,10 +797,49 @@ class MicroLakeTable:
     def metrics_df(self) -> DataFrame:
         from ..schema import METRICS_SCHEMA
 
-        rows = self.manifest["metrics"]
+        # Backfill fields added to METRICS_SCHEMA after a manifest was
+        # committed (e.g. events_rejected) so pre-existing tables stay
+        # readable — the manifest, like an Iceberg snapshot, is immutable.
+        defaults = {"events_rejected": 0}
+        rows = [{**defaults, **r} for r in self.manifest["metrics"]]
         return self.spark.createDataFrame(rows, METRICS_SCHEMA) if rows else \
             self.spark.createDataFrame([], METRICS_SCHEMA)
 
 
 def _utcnow_iso() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def murmur3_x86_32(data: bytes, seed: int = 42) -> int:
+    """Pure-Python twin of Spark's ``F.hash`` for one string/binary column
+    (Catalyst ``Murmur3Hash``, seed 42) — returns the signed int32 Spark
+    produces, so ``murmur3_x86_32(k) % n == pmod(hash(col), n)``.
+
+    Deliberately matches Spark's ``hashUnsafeBytes``, which deviates from
+    canonical MurmurHash3: each tail byte (len % 4) is sign-extended and
+    mixed as a FULL block (mixK1 + mixH1), not accumulated into one final
+    k1. Cross-checked against ``F.hash`` on random keys in
+    tests/test_change_feed.py."""
+    h1 = seed & 0xFFFFFFFF
+    n_aligned = len(data) - len(data) % 4
+
+    def _mix(h1: int, k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    for i in range(0, n_aligned, 4):
+        h1 = _mix(h1, int.from_bytes(data[i:i + 4], "little"))
+    for i in range(n_aligned, len(data)):
+        b = data[i] - 256 if data[i] >= 128 else data[i]  # signed byte
+        h1 = _mix(h1, b & 0xFFFFFFFF)  # sign-extend to uint32 bit pattern
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 2**32 if h1 >= 2**31 else h1

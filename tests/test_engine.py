@@ -277,3 +277,74 @@ def test_randomized_interleavings_converge(spark, tmp_dir, seed):
                     out_of_order_pct=40, duplicate_pct=10)
     table, _ = replay(spark, [log], f"{tmp_dir}/t", n_buckets=8, n_epochs=3)
     _assert_table_equals_oracle(table, f"'{log}/*.parquet'")
+
+
+def test_merge_reads_batch_exactly_once(spark, tmp_dir):
+    """The WAL batch must be scanned exactly once per merge (VERDICT r1
+    #1: a separate count() doubled read amplification on the hot path).
+    A ticking UDF on a payload column counts per-row evaluations."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(s):
+        acc.add(1)
+        return s
+
+    tick_udf = F.udf(tick, "string")
+    base = _events(spark, [(i, "I", f"c{i}", 0, i) for i in range(1, 21)])
+    batch = base.withColumn("text", tick_udf("text"))
+    t = MicroLakeTable.create(
+        spark, f"{tmp_dir}/t", base.drop("op", "seq").schema, n_buckets=4
+    )
+    r = t.merge(batch, 0)
+    assert r.events_in == 20
+    assert acc.value == 20  # one evaluation per input row: single scan
+
+    # the CoW rewrite path re-reads STAGED+OLD parquet, never the batch
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def tick2(s):
+        acc2.add(1)
+        return s
+
+    upd = _events(
+        spark, [(100 + i, "U", f"c{i}", 0, 100 + i, "u") for i in range(1, 6)]
+    ).withColumn("text", F.udf(tick2, "string")("text"))
+    r2 = t.merge(upd, 1)
+    assert r2.events_in == 5
+    assert acc2.value == 5
+
+
+def test_merge_max_payload_bytes_rejects_and_counts(spark, tmp_dir):
+    """S7 large-blob guard inside MERGE: oversize payloads are rejected
+    (not written) and accounted in events_rejected, like null keys.
+    Reference: 40 MiB diff cap (/root/reference/tap_github/client.py:334)."""
+    rows = [
+        (1, "I", "c1", 0, 10, "small"),
+        (2, "I", "c2", 0, 11, "x" * 500),   # oversize
+        (3, "I", "c3", 0, 12, None),         # null payload is fine
+    ]
+    batch = _events(spark, rows)
+    t = MicroLakeTable.create(
+        spark, f"{tmp_dir}/t", batch.drop("op", "seq").schema, n_buckets=4
+    )
+    r = t.merge(batch, 0, max_payload_bytes=100)
+    assert r.events_in == 3
+    snap = {x["conv_id"] for x in t.snapshot_df().collect()}
+    assert snap == {"c1", "c3"}
+    m = t.metrics_df().first()
+    assert m["events_rejected"] == 1
+
+
+def test_metrics_df_backfills_pre_evolution_manifests(spark, tmp_dir):
+    """Manifests committed before METRICS_SCHEMA gained events_rejected
+    must still load (ADVICE r1: immutable old manifests lack the key)."""
+    batch = _events(spark, [(1, "I", "c1", 0, 10)])
+    t = MicroLakeTable.create(
+        spark, f"{tmp_dir}/t", batch.drop("op", "seq").schema, n_buckets=4
+    )
+    t.merge(batch, 0)
+    # simulate a legacy manifest: strip the field and reload
+    for m in t.manifest["metrics"]:
+        m.pop("events_rejected", None)
+    rows = t.metrics_df().collect()
+    assert rows and rows[0]["events_rejected"] == 0

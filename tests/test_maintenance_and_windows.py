@@ -83,7 +83,12 @@ def test_vacuum_removes_orphans_keeps_snapshot(spark, tmp_dir):
     referenced = len(table.manifest["files"])
     assert on_disk > referenced  # orphans exist pre-vacuum
 
-    deleted = table.vacuum(keep_versions=1)
+    # grace window: freshly-written orphans survive a guarded vacuum
+    # (protects the staged files of an in-flight concurrent merge)
+    assert table.vacuum(keep_versions=1) == 0
+    assert count_parquet(f"{tmp_dir}/t") == on_disk
+
+    deleted = table.vacuum(keep_versions=1, grace_seconds=0)
     assert deleted == on_disk - referenced
     assert count_parquet(f"{tmp_dir}/t") == referenced
     after = table.snapshot_df().orderBy("conv_id", "turn_idx").collect()

@@ -107,3 +107,13 @@ def test_no_row_at_a_time_python(spark, name):
     ensure_changelog(spark, 0.01)
     fn, _ = REGISTRY[name]
     assert "BatchEvalPython" not in plan_of(fn(spark, SF_DIR))
+
+
+def test_search_counts_single_scan(spark):
+    """K configured search templates must cost ONE scan of the fact
+    table (conditional aggregation), not K filtered scans unioned
+    (VERDICT r1 #4: linear-in-templates scan cost at 100 TB)."""
+    fn, _ = REGISTRY["search_counts"]
+    plan = plan_of(fn(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan

@@ -95,3 +95,61 @@ def test_rolling_hash_is_order_sensitive(spark):
     # and deterministic across invocations
     again = [r["fp"] for r in df.select(rolling_hash(tokens("t")).alias("fp")).collect()]
     assert fps == again
+
+
+def test_lsh_hot_bucket_cap_bounds_candidate_pairs(spark):
+    """VERDICT r1 #3: boilerplate text collapses thousands of docs into
+    one band bucket; the salt-split cap must keep candidate pairs
+    sub-quadratic (≈ size·cap, never size²)."""
+    from tap_github_search_spark.functions.textops import cap_buckets
+
+    n, cap = 600, 10
+    # every doc lands in ONE band bucket (the boilerplate pathology)
+    banded = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_idx"),
+        F.lit("deadbeef").alias("band_key"),
+    )
+    capped = cap_buckets(banded, ["band_idx", "band_key"], "doc_id", cap)
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    quadratic = n * (n - 1) // 2  # 179,700 without the cap
+    # with ~cap members per sub-bucket, pairs ≈ n·(cap-1)/2 ≪ n²/2;
+    # allow generous slack for salt imbalance
+    assert pairs <= n * cap * 3
+    assert pairs < quadratic / 10
+    # membership unchanged: every doc still belongs to exactly one bucket
+    assert capped.count() == n
+    # small buckets pass through unmodified
+    small = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("band_idx"),
+        F.lit("cafe").alias("band_key"),
+    )
+    out = cap_buckets(small, ["band_idx", "band_key"], "doc_id", cap)
+    assert [r["band_key"] for r in out.collect()] == ["cafe"] * 5
+
+
+def test_ann_bits_scale_with_corpus(spark):
+    """VERDICT r1 #3b: fixed n_bits is O(N²/2^bits); bits must grow with
+    the corpus so expected bucket size stays ~constant."""
+    from tap_github_search_spark.functions.simsearch import ann_bits
+
+    def bits_for(n):
+        return (
+            spark.range(n).agg(ann_bits(F.count(F.lit(1))).alias("b"))
+            .first()["b"]
+        )
+
+    assert bits_for(500) == 7        # the oracle-scale fixture
+    assert bits_for(64) == 4         # clamped at the floor
+    assert bits_for(100_000) == 15   # grows with N
+    assert bits_for(4 * 2**24) == 24  # clamped at the ceiling
