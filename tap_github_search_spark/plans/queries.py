@@ -678,6 +678,171 @@ SELECT query_id, rank, vec_id, round(s, 4) AS sim FROM sims WHERE rank <= 10
 
 
 # =====================================================================
+# Nested-data family (SURVEY.md §2 U3/U4/U6, P3) over the projects
+# fixture (sources/generator.nested_items_df)
+# =====================================================================
+
+_ORACLE_PROJECTS = "/root/repo/data/cdc/sf0.01/projects/*.parquet"
+
+
+def _projects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generator import ensure_projects
+
+    sf = sf_from_dir(sf_dir)
+    ensure_projects(spark, sf)
+    from ..sources.generator import projects_dir
+
+    return spark.read.parquet(projects_dir(sf))
+
+
+def q_pivot_field_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True U6 dynamic field-value pivot: the alias→value array becomes
+    a map (map_from_entries) and known fields are promoted to typed
+    columns, missing aliases defaulting — the Spark form of
+    ProjectItemsStream.post_process
+    (/root/reference/tap_github/organization_streams.py:825-910)."""
+    items = _projects(spark, sf_dir)
+    m = F.map_from_entries("field_values")
+    return items.select(
+        "item_id",
+        "project",
+        F.element_at(m, "title").alias("title"),
+        F.coalesce(F.element_at(m, "status"), F.lit("unknown")).alias("status"),
+        F.element_at(m, "priority").cast("int").alias("priority"),
+        F.size("field_values").alias("n_fields"),
+    )
+
+
+# DuckDB twin uses list_filter (engine-neutral on struct field names)
+def _fv(field: str) -> str:
+    return f"list_filter(field_values, x -> x.field = '{field}')[1].value"
+
+
+SQL_PIVOT_FIELD_VALUES = f"""
+SELECT item_id, project,
+       {_fv('title')} AS title,
+       coalesce({_fv('status')}, 'unknown') AS status,
+       CAST({_fv('priority')} AS INT) AS priority,
+       len(field_values) AS n_fields
+FROM read_parquet('{_ORACLE_PROJECTS}')
+"""
+
+
+def q_nested_two_level_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: genuinely 2-level nested unnest — reviews[] then comments[]
+    (reference: nested commit-file arrays,
+    /root/reference/tap_github/repository_streams.py:2615-2627)."""
+    items = _projects(spark, sf_dir)
+    return (
+        items.select("item_id", F.explode("reviews").alias("r"))
+        .select(
+            "item_id",
+            F.col("r.reviewer").alias("reviewer"),
+            F.explode("r.comments").alias("comment"),
+        )
+        .groupBy("reviewer")
+        .agg(
+            F.count("*").alias("n_comments"),
+            F.countDistinct("item_id").alias("n_items"),
+        )
+    )
+
+
+SQL_NESTED_TWO_LEVEL = f"""
+SELECT reviewer, count(*) AS n_comments, count(DISTINCT item_id) AS n_items
+FROM (
+  SELECT item_id, r.reviewer AS reviewer, unnest(r.comments) AS comment
+  FROM (SELECT item_id, unnest(reviews) AS r
+        FROM read_parquet('{_ORACLE_PROJECTS}')) t
+) GROUP BY reviewer
+"""
+
+
+def q_nested_count_hoist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: nested counts hoisted WITHOUT unnesting — array sizes and a
+    fold over the nested level stay narrow per-row expressions
+    (reference: commit stats hoist,
+    /root/reference/tap_github/repository_streams.py:2114-2125)."""
+    items = _projects(spark, sf_dir)
+    n_comments = F.aggregate(
+        F.transform("reviews", lambda r: F.size(r["comments"])),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return items.select(
+        "item_id",
+        F.size("reviews").alias("n_reviews"),
+        n_comments.cast("long").alias("n_comments"),
+        F.exists(
+            "field_values", lambda x: x["field"] == F.lit("status")
+        ).alias("has_status"),
+    )
+
+
+SQL_NESTED_COUNT_HOIST = f"""
+SELECT item_id,
+       len(reviews) AS n_reviews,
+       CAST(coalesce(
+         list_sum(list_transform(reviews, r -> len(r.comments))), 0)
+         AS BIGINT) AS n_comments,
+       len(list_filter(field_values, x -> x.field = 'status')) > 0
+         AS has_status
+FROM read_parquet('{_ORACLE_PROJECTS}')
+"""
+
+
+def q_rename_reserved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: rename a reserved-character source column (``+1`` — the
+    GitHub reaction field the reference must sanitize to ``plus_one``)
+    and aggregate over it."""
+    items = _projects(spark, sf_dir)
+    return (
+        items.withColumnRenamed("+1", "plus_one")
+        .groupBy("project")
+        .agg(
+            F.sum("plus_one").alias("total_plus_one"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_RENAME_RESERVED = f"""
+SELECT project, sum("+1") AS total_plus_one, count(*) AS n_items
+FROM read_parquet('{_ORACLE_PROJECTS}')
+GROUP BY project
+"""
+
+
+def q_docs_oversize_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 large-blob guard as a catalog query: typed
+    {success, error_message} rows with the payload nulled when oversize
+    (reference: 40 MiB diff cap + tolerated error rows,
+    /root/reference/tap_github/client.py:324-370). Cap shrunk to 300 B
+    so the fixture exercises both classes."""
+    from ..operators.payload_guard import guard_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    return guard_payload(docs, "text", max_bytes=300).select(
+        "doc_id",
+        "success",
+        "error_message",
+        F.octet_length("text").cast("long").alias("kept_bytes"),
+    )
+
+
+SQL_DOCS_OVERSIZE_GUARD = """
+SELECT doc_id,
+       coalesce(strlen(text) <= 300, true) AS success,
+       CASE WHEN strlen(text) > 300
+            THEN 'payload too large: ' || strlen(text) || ' > 300 bytes'
+            END AS error_message,
+       CASE WHEN strlen(text) > 300 THEN NULL
+            ELSE strlen(text) END AS kept_bytes
+FROM documents
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -705,6 +870,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
     "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
+    "pivot_field_values": (q_pivot_field_values, SQL_PIVOT_FIELD_VALUES),
+    "nested_two_level_unnest": (q_nested_two_level_unnest,
+                                SQL_NESTED_TWO_LEVEL),
+    "nested_count_hoist": (q_nested_count_hoist, SQL_NESTED_COUNT_HOIST),
+    "rename_reserved": (q_rename_reserved, SQL_RENAME_RESERVED),
+    "docs_oversize_guard": (q_docs_oversize_guard, SQL_DOCS_OVERSIZE_GUARD),
 }
 
 # training-data pipeline ops (dedup / similarity / multimodal / text

@@ -228,6 +228,96 @@ def write_changelog(
     return out_dir
 
 
+def nested_items_df(spark: SparkSession, n_items: int,
+                    seed: int = SEED) -> DataFrame:
+    """Deterministic nested fixture: project items with a dynamic
+    alias→value array (``field_values``), a two-level nested
+    ``reviews[].comments[]`` column, and a reserved-character ``+1``
+    reaction count.
+
+    Reference analogs: ProjectItemsStream's dynamic field-value pivot
+    (/root/reference/tap_github/organization_streams.py:825-910),
+    2-level nested unnest (repository_streams.py:2615-2627), and the
+    ``+1``/``-1`` reaction-column renames the SDK must sanitize. Pure
+    column expressions of ``seed`` — no driver loops."""
+    df = spark.range(n_items).select(F.col("id").alias("item_id"))
+    i = F.col("item_id")
+
+    title = F.struct(
+        F.lit("title").alias("field"),
+        F.concat(F.lit("Item "), i.cast("string")).alias("value"),
+    )
+    status = F.struct(
+        F.lit("status").alias("field"),
+        F.elt(_pm("st", 3, i, seed=seed) + 1,
+              F.lit("todo"), F.lit("doing"), F.lit("done")).alias("value"),
+    )
+    prio = F.struct(
+        F.lit("priority").alias("field"),
+        _pm("pr", 5, i, seed=seed).cast("string").alias("value"),
+    )
+    fv = F.array(title)
+    fv = F.when(_pm("hasst", 10, i, seed=seed) < 7,
+                F.array_append(fv, status)).otherwise(fv)
+    fv = F.when(_pm("haspr", 10, i, seed=seed) < 4,
+                F.array_append(fv, prio)).otherwise(fv)
+
+    # reviews: 0-3 reviewers, each with 1-4 comments. Spark's sequence()
+    # DESCENDS when start > stop, so empty cases are explicit branches.
+    def _comments(r):
+        n_c = F.pmod(F.xxhash64(F.lit(seed), F.lit("nc"), i, r), F.lit(4)) + 1
+        return F.transform(
+            F.sequence(F.lit(1), n_c),
+            lambda c: F.format_string(
+                "comment %d-%d", r.cast("int"), c.cast("int")
+            ),
+        )
+
+    n_rev = _pm("nr", 4, i, seed=seed)
+    reviews = F.when(
+        n_rev == 0,
+        F.array().cast(
+            "array<struct<reviewer:string,comments:array<string>>>"
+        ),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_rev),
+            lambda r: F.struct(
+                F.format_string(
+                    "user_%02d",
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit("rv"), i, r),
+                           F.lit(40)).cast("int"),
+                ).alias("reviewer"),
+                _comments(r).alias("comments"),
+            ),
+        )
+    )
+
+    return df.select(
+        "item_id",
+        F.format_string("proj_%03d", _pm("proj", 20, i, seed=seed).cast("int")
+                        ).alias("project"),
+        fv.alias("field_values"),
+        reviews.alias("reviews"),
+        _pm("plus1", 50, i, seed=seed).cast("int").alias("+1"),
+    )
+
+
+def projects_dir(sf: float) -> str:
+    return os.path.join(DATA_ROOT, f"sf{sf:g}", "projects")
+
+
+def ensure_projects(spark: SparkSession, sf: float) -> str:
+    """Generate (once) the nested projects fixture for a scale factor."""
+    out = projects_dir(sf)
+    if not (os.path.isdir(out)
+            and any(f.endswith(".parquet") for f in os.listdir(out))):
+        n_items = max(200, int(sf * 20_000))
+        nested_items_df(spark, n_items).repartition(2).write.mode(
+            "overwrite").parquet(out)
+    return out
+
+
 # --- scale-factor convention -------------------------------------------------
 # sf → n_convs so that event counts track FIXTURES.md §7:
 #   sf0.001 ≈ 1.2e4 (smoke) · sf0.01 ≈ 1.2e5 (oracle) · sf0.1 ≈ 1.2e6 (bench)
