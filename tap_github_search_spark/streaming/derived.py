@@ -1,19 +1,33 @@
-"""Incrementally-maintained derived (child) tables.
+"""Incrementally-maintained derived (child + grandchild) tables.
 
 Reference analog: parent→child stream fan-out — every parent record
 triggers child-stream extraction stamped with the parent key
 (/root/reference/tap_github/repository_streams.py:195-209, SDK
-`_sync_children`). In the CDC engine the same capability is a
-**incrementally-maintained materialized view**: after each MERGE epoch,
-only the conversations the batch touched are recomputed from the main
-table and upserted into the child table. Work per epoch is
-O(affected keys), not O(table).
+`_sync_children`); reference chains go 3-4 deep (repositories →
+pull_requests → pull_request_commits → diffs,
+repository_streams.py:1412-1427). In the CDC engine the same capability
+is an **incrementally-maintained materialized view chain**:
 
-The child table is itself a MicroLakeTable (same manifest/fence
-machinery), keyed by ``conv_id``; synthetic WAL columns are derived:
-``seq`` = commit epoch (monotone), ``op`` = 'D' when the conversation
-lost all live turns, else 'U'. The epoch fence therefore protects the
-child exactly like the parent.
+  transcripts ──(affected conv_ids)──▶ conv rollup
+              ──(affected days)──────▶ daily activity rollup
+
+After each MERGE epoch only the conversations the batch touched are
+recomputed into the child, and only the days those conversations span
+(before OR after the change — the old day set comes from the child's
+previous snapshot version, i.e. time travel) are recomputed into the
+grandchild. Work per epoch is O(affected keys), not O(table), at every
+level.
+
+Each level is itself a MicroLakeTable (same manifest/fence machinery);
+synthetic WAL columns are derived: ``seq`` = commit epoch (monotone),
+``op`` = 'D' when the key lost all live members. Each level's epoch
+fence is independent, so a crash landing between the level-1 and
+level-2 commits replays the batch, no-ops the committed levels, and
+catches up the rest (crash-tested in tests/test_derived.py).
+
+Constraint: the grandchild's old-day lookup loads the child's previous
+snapshot version, so ``vacuum(keep_versions=1)`` on the child must not
+run between a child commit and its grandchild catch-up.
 """
 
 from __future__ import annotations
@@ -44,6 +58,31 @@ ROLLUP_SCHEMA = T.StructType(
 )
 
 
+DAILY_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.StringType()),       # yyyy-MM-dd of first_ts
+        T.StructField("n_convs", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("total_chars", T.LongType()),
+        T.StructField("ts", T.TimestampType()),     # epoch time (monotone)
+    ]
+)
+
+def _day_col():
+    """yyyy-MM-dd of first_ts (built lazily: module imports before any
+    SparkSession exists)."""
+    return F.date_format("first_ts", "yyyy-MM-dd")
+
+
+def daily_rollup(child_live: DataFrame) -> DataFrame:
+    """The grandchild transform: per-day activity over conv rollups."""
+    return child_live.groupBy(_day_col().alias("day")).agg(
+        F.count("*").alias("n_convs"),
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+
+
 def conv_rollup(live_turns: DataFrame) -> DataFrame:
     """The child-table transform: per-conversation rollup of live turns."""
     return live_turns.groupBy("conv_id").agg(
@@ -61,13 +100,20 @@ class RollupMaintainer:
     transcript table, one epoch at a time."""
 
     def __init__(self, spark: SparkSession, main: MicroLakeTable,
-                 path: str, n_buckets: int | None = None):
+                 path: str, n_buckets: int | None = None,
+                 daily_path: str | None = None):
         self.spark = spark
         self.main = main
         self.child = MicroLakeTable.create_or_load(
             spark, path, ROLLUP_SCHEMA,
             n_buckets=n_buckets or main.n_buckets, keys=("conv_id",),
         )
+        self.grandchild = None
+        if daily_path is not None:
+            # day-keyed level 2: few distinct keys → few buckets
+            self.grandchild = MicroLakeTable.create_or_load(
+                spark, daily_path, DAILY_SCHEMA, n_buckets=8, keys=("day",),
+            )
 
     def affected_conv_ids(self, epoch: int) -> DataFrame:
         """Distinct conv_ids staged in the given epoch — a skinny scan
@@ -89,8 +135,16 @@ class RollupMaintainer:
     def apply_epoch(self, epoch: int) -> MergeResult:
         """Recompute rollups for the epoch's affected conversations and
         MERGE them into the child table (child epoch == parent epoch,
-        same fence semantics)."""
+        same fence semantics), then cascade to the grandchild. Each
+        level is fenced independently: on replay after a crash, levels
+        already at ``epoch`` no-op and the rest catch up."""
         affected = self.affected_conv_ids(epoch)
+        res = self._apply_child(epoch, affected)
+        if self.grandchild is not None:
+            self._apply_daily(epoch, affected)
+        return res
+
+    def _apply_child(self, epoch: int, affected: DataFrame) -> MergeResult:
         # Only affected conversations are read back from the main table;
         # the broadcast keeps the probe local (affected set ≪ table).
         live = self.main.snapshot_df().join(
@@ -120,3 +174,69 @@ class RollupMaintainer:
             ),
         )
         return self.child.merge(events, epoch=epoch)
+
+    def _affected_days(self, epoch: int, affected: DataFrame) -> DataFrame:
+        """Days whose aggregates the epoch may change: the affected
+        conversations' days in the CURRENT child snapshot plus their
+        days in the last child version committed BEFORE this epoch
+        (time travel) — a conversation whose first_ts moved contributes
+        both its old and new day."""
+        cur = (
+            self.child.snapshot_df()
+            .join(F.broadcast(affected), "conv_id")
+            .select(_day_col().alias("day"))
+        )
+        prev_versions = [
+            h["version"] for h in self.child.history()
+            if h["last_committed_epoch"] < epoch
+        ]
+        if prev_versions:
+            old = (
+                MicroLakeTable.load(
+                    self.spark, self.child.path, max(prev_versions)
+                )
+                .snapshot_df()
+                .join(F.broadcast(affected), "conv_id")
+                .select(_day_col().alias("day"))
+            )
+            cur = cur.unionByName(old)
+        return cur.distinct()
+
+    def _apply_daily(self, epoch: int, affected: DataFrame) -> MergeResult:
+        """Level-2 maintenance: recompute the affected days from the
+        current child state and MERGE into the day-keyed grandchild
+        (own fence, same epoch)."""
+        if epoch <= self.grandchild.last_committed_epoch:
+            return MergeResult(epoch=epoch, skipped=True)
+        days = self._affected_days(epoch, affected)
+        live = (
+            self.child.snapshot_df()
+            .withColumn("day", _day_col())
+            .join(F.broadcast(days), "day")
+        )
+        rollups = live.groupBy("day").agg(
+            F.count("*").alias("n_convs"),
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("total_chars").alias("total_chars"),
+        )
+        gone = days.join(rollups.select("day"), "day", "left_anti")
+        epoch_ts = F.timestamp_seconds(F.lit(epoch))
+        payload = [f.name for f in DAILY_SCHEMA.fields]
+        events = rollups.withColumn("ts", epoch_ts).select(
+            F.lit("U").alias("op"),
+            F.lit(epoch).cast("long").alias("seq"),
+            *payload,
+        ).unionByName(
+            gone.select(
+                F.lit("D").alias("op"),
+                F.lit(epoch).cast("long").alias("seq"),
+                "day",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in DAILY_SCHEMA.fields
+                    if f.name not in ("day", "ts")
+                ],
+                epoch_ts.alias("ts"),
+            ),
+        )
+        return self.grandchild.merge(events, epoch=epoch)

@@ -112,6 +112,7 @@ def stream(
     merge_mode: str = "cow",
     dedup: str = "window",
     rollup_path: str | None = None,
+    daily_rollup_path: str | None = None,
 ):
     """Tail the WAL with a file streaming source and MERGE each
     microbatch. ``foreachBatch(batchId)`` is the commit epoch; Spark
@@ -144,7 +145,8 @@ def stream(
     if rollup_path is not None:
         from .derived import RollupMaintainer
 
-        maintainer = RollupMaintainer(spark, table, rollup_path)
+        maintainer = RollupMaintainer(spark, table, rollup_path,
+                                      daily_path=daily_rollup_path)
 
     seen = {"n": 0}
 
@@ -153,11 +155,16 @@ def stream(
                           winner_transform=normalize_events,
                           merge_mode=merge_mode, dedup=dedup)
         if maintainer is not None:
-            # Child rides the same epoch, fenced independently. Crucially
-            # it must ALSO run when the parent skipped (crash landed
-            # between parent commit and child commit → restart re-delivers
-            # the batch, parent no-ops, child still has to catch up).
+            # Derived levels ride the same epoch, fenced independently.
+            # Crucially they must ALSO run when the parent skipped (crash
+            # landed between the parent commit and a derived commit →
+            # restart re-delivers the batch, parent no-ops, the
+            # not-yet-committed levels still have to catch up).
             behind = maintainer.child.last_committed_epoch < batch_id
+            if maintainer.grandchild is not None:
+                behind = behind or (
+                    maintainer.grandchild.last_committed_epoch < batch_id
+                )
             staged = res.events_in > 0 or res.skipped
             if behind and staged:
                 try:

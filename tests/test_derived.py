@@ -88,3 +88,98 @@ def test_rollup_epoch_fence(spark, tmp_dir):
     res = maint.apply_epoch(results[-1].epoch)
     assert res.skipped
     assert maint.child.snapshot_df().count() == before
+
+
+def _daily_canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values("day").reset_index(drop=True)
+
+
+def test_two_level_chain_incremental_equals_full(spark, tmp_dir):
+    """Grandchild (daily rollup over the conv rollup) maintained epoch by
+    epoch must equal a full recompute from the final parent state."""
+    from tap_github_search_spark.streaming.derived import daily_rollup
+
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=4, delete_pct=30,
+                    out_of_order_pct=40)
+    table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                            n_buckets=8, n_epochs=4)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup",
+                             daily_path=f"{tmp_dir}/daily")
+    for r in results:
+        maint.apply_epoch(r.epoch)
+    got = _daily_canon(maint.grandchild.snapshot_df().drop("ts").toPandas())
+    expect = _daily_canon(
+        daily_rollup(conv_rollup(table.snapshot_df())).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_two_level_chain_crash_between_levels(spark, tmp_dir, monkeypatch):
+    """VERDICT r1 #6: crash injected BETWEEN the level-1 (conv rollup)
+    commit and the level-2 (daily rollup) commit; restart must converge
+    all three tables (each level fenced independently)."""
+    import pytest
+
+    from tap_github_search_spark.streaming.derived import daily_rollup
+    from tap_github_search_spark.streaming.job import stream
+
+    write_changelog(spark, f"{tmp_dir}/log", 120, n_files=6, delete_pct=25)
+    real = RollupMaintainer._apply_daily
+    calls = {"n": 0}
+
+    def boom(self, epoch, affected):
+        calls["n"] += 1
+        if calls["n"] == 2:  # level-1 of epoch 1 already committed
+            raise RuntimeError("injected crash between chain levels")
+        return real(self, epoch, affected)
+
+    monkeypatch.setattr(RollupMaintainer, "_apply_daily", boom)
+    with pytest.raises(Exception, match="between chain levels"):
+        stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+               n_buckets=8, rollup_path=f"{tmp_dir}/rollup",
+               daily_rollup_path=f"{tmp_dir}/daily")
+    table = stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                   f"{tmp_dir}/ckpt", rollup_path=f"{tmp_dir}/rollup",
+                   daily_rollup_path=f"{tmp_dir}/daily")
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup",
+                             daily_path=f"{tmp_dir}/daily")
+    # every level caught up to the parent's last epoch
+    assert (maint.child.last_committed_epoch
+            == maint.grandchild.last_committed_epoch
+            == table.last_committed_epoch)
+    got_child = _canon(maint.child.snapshot_df().drop("ts").toPandas())
+    exp_child = _canon(conv_rollup(table.snapshot_df()).toPandas())
+    pd.testing.assert_frame_equal(got_child, exp_child, check_dtype=False)
+    got_daily = _daily_canon(
+        maint.grandchild.snapshot_df().drop("ts").toPandas()
+    )
+    exp_daily = _daily_canon(
+        daily_rollup(conv_rollup(table.snapshot_df())).toPandas()
+    )
+    pd.testing.assert_frame_equal(got_daily, exp_daily, check_dtype=False)
+
+
+def test_day_moves_when_first_turn_deleted(spark, tmp_dir):
+    """Deleting a conversation's earliest turn moves its first_ts day;
+    the OLD day must shrink (or vanish) and the NEW day must appear —
+    the case the time-travel old-day lookup exists for."""
+    day = 86_400
+    e0 = _events(spark, [(1, "I", "c1", 0, 0),            # day 2025-01-01
+                         (2, "I", "c1", 1, 2 * day),      # day 2025-01-03
+                         (3, "I", "c2", 0, 2 * day + 1)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, res0 = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                         n_buckets=4)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup",
+                             daily_path=f"{tmp_dir}/daily")
+    maint.apply_epoch(res0[0].epoch)
+    daily0 = {r["day"]: r["n_convs"]
+              for r in maint.grandchild.snapshot_df().collect()}
+    assert daily0 == {"2025-01-01": 1, "2025-01-03": 1}
+
+    e1 = _events(spark, [(4, "D", "c1", 0, 3 * day)])  # first turn gone
+    r1 = table.merge(e1, epoch=1)
+    maint.apply_epoch(r1.epoch)
+    daily1 = {r["day"]: r["n_convs"]
+              for r in maint.grandchild.snapshot_df().collect()}
+    assert daily1 == {"2025-01-03": 2}  # c1 moved days; 01-01 deleted
