@@ -17,6 +17,12 @@ Modes:
             MERGE per microbatch (availableNow by default; --follow
             keeps tailing new files).
   gen     — write a deterministic synthetic changelog (testing/bench).
+  discover— schema discovery over the WAL: emit the discovered catalog,
+            the ADD COLUMN plan against an existing table, and derived
+            rollup-column candidates as one JSON document (the
+            reference's ``--discover`` catalog emission,
+            /root/reference/tap_github/tap.py:137-160, where discovered
+            field configs feed query assembly).
   run     — config-driven job: ``run --config job.json`` or env
             ``SPARK_CDC_CONFIG`` / ``SPARK_CDC_CONFIG_B64`` (mutually
             exclusive, validated — mirroring the reference's
@@ -92,6 +98,13 @@ def _parser() -> argparse.ArgumentParser:
     gn = sub.add_parser("gen", help="generate a synthetic changelog")
     rn = sub.add_parser("run", help="config-driven job (file or env)")
     rn.add_argument("--config", default=None, help="job config JSON path")
+    dc = sub.add_parser(
+        "discover", help="emit WAL catalog + ADD COLUMN plan as JSON"
+    )
+    dc.add_argument("--log-dir", action="append", required=True,
+                    help="WAL directory (repeatable)")
+    dc.add_argument("--table", default=None,
+                    help="existing table to diff against (optional)")
 
     for q in (rp, st):
         q.add_argument("--log-dir", action="append", required=True,
@@ -112,10 +125,82 @@ def _parser() -> argparse.ArgumentParser:
     gn.add_argument("--seed", type=int, default=42)
     gn.add_argument("--evolved", action="store_true")
 
-    for q in (rp, st, gn):
+    for q in (rp, st, gn, dc):
         q.add_argument("--cores", type=int, default=None,
                        help="local[N] when no external master is set")
     return p
+
+
+#: dtype → derived-table aggregate candidates (the discovery→plan step:
+#: discovered fields feed rollup assembly, the way the reference builds
+#: its GraphQL queries from discovered field configs)
+_DERIVED_CANDIDATES = {
+    "numeric": ["sum", "avg", "min", "max"],
+    "timestamp": ["min", "max"],
+    "string": ["count_distinct"],
+    "boolean": ["count_if"],
+}
+
+
+def discover_plan(spark, log_dirs: list[str], table_path: str | None) -> dict:
+    """Schema discovery over the WAL files → one JSON-able plan:
+    discovered catalog, ADD COLUMN diff vs the live table (empty if the
+    table is absent → CREATE), and per-column derived rollup candidates.
+    """
+    from .streaming.job import discover_schema, table_schema_for
+    from .table.microlake import MicroLakeTable
+
+    wal_schema = discover_schema(spark, *log_dirs)
+    payload = table_schema_for(wal_schema)
+
+    plan: dict = {
+        "wal_columns": [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in wal_schema.fields
+        ],
+    }
+    if table_path and os.path.exists(os.path.join(table_path, "_current")):
+        table = MicroLakeTable.load(spark, table_path)
+        added = table._evolve_schema(payload)
+        plan["table"] = table_path
+        plan["table_columns"] = [f.name for f in table.schema.fields]
+        plan["add_columns"] = [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in added
+        ]
+        plan["ddl"] = [
+            f"ALTER TABLE t ADD COLUMN {f.name} {f.dataType.simpleString()}"
+            for f in added
+        ]
+    else:
+        plan["table"] = None
+        plan["add_columns"] = [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in payload.fields
+        ]
+        plan["ddl"] = [
+            "CREATE TABLE t ("
+            + ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in payload.fields)
+            + ")"
+        ]
+
+    def _family(simple: str) -> str:
+        if simple in ("int", "bigint", "smallint", "tinyint", "float",
+                      "double") or simple.startswith("decimal"):
+            return "numeric"
+        if simple in ("timestamp", "date", "timestamp_ntz"):
+            return "timestamp"
+        if simple == "boolean":
+            return "boolean"
+        return "string"
+
+    plan["derived_candidates"] = {
+        f.name: _DERIVED_CANDIDATES[_family(f.dataType.simpleString())]
+        for f in payload.fields
+        if f.name not in ("conv_id", "turn_idx")  # merge keys group, not agg
+    }
+    return plan
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -146,6 +231,10 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(cores=args.cores)
+
+    if args.mode == "discover":
+        print(json.dumps(discover_plan(spark, args.log_dir, args.table)))
+        return 0
 
     if args.mode == "gen":
         from .sources.generator import write_changelog

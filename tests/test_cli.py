@@ -73,3 +73,43 @@ def test_run_mode_end_to_end(spark, tmp_dir, tmp_path, monkeypatch, capsys):
            capsys.readouterr().out.strip().splitlines()]
     assert [r["epoch"] for r in out] == [0, 1]
     assert sum(r["rows_applied"] for r in out) > 0
+
+
+def test_discover_emits_add_column_plan(spark, tmp_dir, capsys):
+    """VERDICT r1 #10: the discovery→plan step — reading the WAL, diffing
+    against the live table, and emitting the ADD COLUMN plan + derived
+    rollup-column candidates as JSON (reference --discover analog)."""
+    import json
+
+    from tap_github_search_spark.cli import main
+    from tap_github_search_spark.sources.generator import (
+        TURN_SPAN,
+        write_changelog,
+    )
+    from tap_github_search_spark.streaming.job import replay
+
+    write_changelog(spark, f"{tmp_dir}/log", 40, n_files=2)
+    write_changelog(spark, f"{tmp_dir}/log_ev", 10, n_files=1, evolved=True,
+                    seq_offset=40 * TURN_SPAN * 2)
+    replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=4)
+    capsys.readouterr()
+
+    # evolved WAL vs pre-evolution table → ALTER plan
+    assert main(["discover", "--log-dir", f"{tmp_dir}/log",
+                 "--log-dir", f"{tmp_dir}/log_ev",
+                 "--table", f"{tmp_dir}/t"]) == 0
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {c["name"] for c in plan["add_columns"]} == {"tool_version", "lang"}
+    assert plan["ddl"] == [
+        "ALTER TABLE t ADD COLUMN tool_version string",
+        "ALTER TABLE t ADD COLUMN lang string",
+    ]
+    assert plan["derived_candidates"]["ts"] == ["min", "max"]
+    assert plan["derived_candidates"]["text"] == ["count_distinct"]
+    assert "conv_id" not in plan["derived_candidates"]  # merge key groups
+
+    # no table → CREATE plan over the full discovered payload
+    assert main(["discover", "--log-dir", f"{tmp_dir}/log"]) == 0
+    plan2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan2["table"] is None
+    assert plan2["ddl"][0].startswith("CREATE TABLE t (conv_id string")
