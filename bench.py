@@ -17,11 +17,17 @@ on the same input — a dedicated update-heavy WAL (~155M events:
 3.2M conversations × ~40 mutations, zipf-skewed) where compute
 dominates fixed overheads — and reports events/sec at both plus
 efficiency (= eps32 / (4·eps8)), the sandbox stand-in for the
-north_rule's N vs 4N executor requirement. A raw-CPU busy-loop
-baseline at the same two parallelism levels is reported alongside,
-because a single shared-memory VM caps even embarrassingly parallel
-scaling below 1.0. Results land in BENCH/scaling_raw.json (and are
-summarized in BENCH/BASELINE.md).
+north_rule's N vs 4N executor requirement. Reps are INTERLEAVED
+(8,32,8,32,...; best of SPARK_GRAFT_SCALING_REPS, default 5) so the
+±40% VM drift hits both levels equally instead of biasing one.
+Alongside the shuffle-shaped replay it measures:
+ - a CPU-bound ENGINE stage (parquet decode → Arrow normalize → md5
+   fingerprint, zero exchanges) at both levels — the engine's own code
+   demonstrating the ~0.9 CPU ceiling, not a synthetic busy-loop;
+ - raw busy-loop CPU and 64 MB-streaming memory-bandwidth baselines,
+   because a single shared-memory VM caps even embarrassingly parallel
+   scaling below 1.0.
+Results land in BENCH/scaling_raw.json (summarized in BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -193,46 +199,72 @@ def main() -> None:
         spark.stop()
         return
 
-    # --scaling: same MERGE replay, two parallelism levels, same input.
+    # --scaling: same jobs, two parallelism levels, same input, reps
+    # INTERLEAVED so VM drift cannot bias one level.
+    from pyspark.sql import functions as F
+
+    from tap_github_search_spark.functions.normalize import normalized
     from tap_github_search_spark.sources.generator import write_changelog
     from tap_github_search_spark.streaming.job import replay
 
-    results = {}
-    for n in (8, 32):
-        spark = get_spark(cores=n, shuffle_partitions=n)
-        spark.sparkContext.setLogLevel("ERROR")
-        if not (
-            os.path.isdir(SCALING_LOG)
-            and any(f.endswith(".parquet") for f in os.listdir(SCALING_LOG))
-        ):
-            t0 = time.monotonic()
-            write_changelog(
-                spark, SCALING_LOG, SCALING_CONVS, n_files=64,
-                mutations_per_conv=40.0,
-            )
-            print(f"# generated scaling WAL in {time.monotonic()-t0:.0f}s",
-                  file=sys.stderr)
-        n_events = spark.read.parquet(SCALING_LOG).count()
-        times = []
-        for rep in range(3):
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
+    results = {n: {"merge_sec": [], "cpu_stage_sec": []} for n in (8, 32)}
+    n_events = None
+    for rep in range(reps):
+        for n in (8, 32):
+            spark = get_spark(cores=n, shuffle_partitions=n)
+            spark.sparkContext.setLogLevel("ERROR")
+            if not (
+                os.path.isdir(SCALING_LOG)
+                and any(f.endswith(".parquet")
+                        for f in os.listdir(SCALING_LOG))
+            ):
+                t0 = time.monotonic()
+                write_changelog(
+                    spark, SCALING_LOG, SCALING_CONVS, n_files=64,
+                    mutations_per_conv=40.0,
+                )
+                print(f"# generated scaling WAL in "
+                      f"{time.monotonic()-t0:.0f}s", file=sys.stderr)
+            if n_events is None:
+                n_events = spark.read.parquet(SCALING_LOG).count()
+
+            # shuffle-shaped job: the full MERGE replay
             root = f"/root/repo/data/bench/scaling_table_{n}"
             shutil.rmtree(root, ignore_errors=True)
             t0 = time.monotonic()
             replay(spark, [SCALING_LOG], root, n_buckets=64, n_epochs=1)
-            times.append(round(time.monotonic() - t0, 2))
+            results[n]["merge_sec"].append(round(time.monotonic() - t0, 2))
             shutil.rmtree(root, ignore_errors=True)
-        results[n] = {
-            "times_sec": times,
-            "best_sec": min(times),
-            "events_per_sec": round(n_events / min(times), 1),
-            "n_events": n_events,
-        }
-        print(f"# local[{n}]: {results[n]}", file=sys.stderr, flush=True)
-        spark.stop()
 
-    eps8 = results[8]["events_per_sec"]
-    eps32 = results[32]["events_per_sec"]
+            # CPU-bound ENGINE stage, zero exchanges: parquet decode →
+            # Arrow-vectorized normalize → md5 fingerprint → noop sink.
+            # This is the engine's own ingest-transform code; its 8→32
+            # scaling demonstrates the CPU ceiling on real work.
+            t0 = time.monotonic()
+            (
+                spark.read.parquet(SCALING_LOG)
+                .select(F.md5(normalized("text")).alias("fp"))
+                .write.format("noop").mode("overwrite").save()
+            )
+            results[n]["cpu_stage_sec"].append(
+                round(time.monotonic() - t0, 2)
+            )
+            spark.stop()
+        print(f"# rep {rep}: "
+              + ", ".join(
+                  f"local[{n}] merge={results[n]['merge_sec'][-1]}s "
+                  f"cpu={results[n]['cpu_stage_sec'][-1]}s"
+                  for n in (8, 32)
+              ), file=sys.stderr, flush=True)
+
+    def _eps(n, key):
+        return round(n_events / min(results[n][key]), 1)
+
+    eps8, eps32 = _eps(8, "merge_sec"), _eps(32, "merge_sec")
+    cpu8, cpu32 = _eps(8, "cpu_stage_sec"), _eps(32, "cpu_stage_sec")
     eff = eps32 / (4.0 * eps8)
+    cpu_stage_eff = cpu32 / (4.0 * cpu8)
     hw = _hw_baselines()
     cpu_eff = hw["cpu"][32] / (4.0 * hw["cpu"][8])
     mem_eff = hw["mem"][32] / (4.0 * hw["mem"][8])
@@ -241,7 +273,10 @@ def main() -> None:
         "value": round(eff, 3),
         "unit": "ratio",
         "events_per_sec": {"local8": eps8, "local32": eps32},
-        "n_events": results[32]["n_events"],
+        "cpu_stage_events_per_sec": {"local8": cpu8, "local32": cpu32},
+        "cpu_stage_scaling_efficiency": round(cpu_stage_eff, 3),
+        "n_events": n_events,
+        "reps_interleaved": reps,
         "hw_cpu_scaling_efficiency": round(cpu_eff, 3),
         "hw_membw_scaling_efficiency": round(mem_eff, 3),
         "fraction_of_membw_ceiling": round(eff / mem_eff, 3),
@@ -252,9 +287,14 @@ def main() -> None:
         json.dump(
             {str(k): v for k, v in results.items()}
             | {
+                "n_events": n_events,
+                "reps_interleaved": reps,
                 "efficiency": eff,
+                "cpu_stage_efficiency": cpu_stage_eff,
                 "hw_cpu_eps": {str(k): v for k, v in hw["cpu"].items()},
-                "hw_mem_bytes_per_sec": {str(k): v for k, v in hw["mem"].items()},
+                "hw_mem_bytes_per_sec": {
+                    str(k): v for k, v in hw["mem"].items()
+                },
                 "hw_cpu_scaling_efficiency": cpu_eff,
                 "hw_membw_scaling_efficiency": mem_eff,
                 "fraction_of_membw_ceiling": eff / mem_eff,
