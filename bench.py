@@ -169,10 +169,82 @@ def run_suite(spark, sf_dir: str, table_root: str) -> dict:
     }
 
 
+def scaling_worker(n: int) -> None:
+    """One measurement in a pristine process: MERGE replay + CPU-bound
+    engine stage at local[n] over the cached scaling WAL. Prints one
+    JSON line."""
+    from pyspark.sql import functions as F
+
+    from tap_github_search_spark.functions.normalize import normalized
+    from tap_github_search_spark.session import get_spark
+    from tap_github_search_spark.sources.generator import write_changelog
+    from tap_github_search_spark.streaming.job import replay
+
+    spark = get_spark(cores=n, shuffle_partitions=n)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not (
+        os.path.isdir(SCALING_LOG)
+        and any(f.endswith(".parquet") for f in os.listdir(SCALING_LOG))
+    ):
+        t0 = time.monotonic()
+        write_changelog(spark, SCALING_LOG, SCALING_CONVS, n_files=64,
+                        mutations_per_conv=40.0)
+        print(f"# generated scaling WAL in {time.monotonic()-t0:.0f}s",
+              file=sys.stderr)
+    n_events = spark.read.parquet(SCALING_LOG).count()
+
+    # untimed warmup in THIS fresh JVM: JIT + codegen compilation must
+    # not land in the measurement — a cold JVM taxes the short local[32]
+    # run a far larger fraction than the long local[8] run, which would
+    # systematically understate scaling efficiency.
+    from tap_github_search_spark.sources.generator import (
+        changelog_dir,
+        ensure_changelog,
+    )
+
+    ensure_changelog(spark, 0.001)
+    warm = f"/root/repo/data/bench/scaling_warmup_{n}"
+    shutil.rmtree(warm, ignore_errors=True)
+    replay(spark, [changelog_dir(0.001)], warm, n_buckets=16)
+    shutil.rmtree(warm, ignore_errors=True)
+    (
+        spark.read.parquet(changelog_dir(0.001))
+        .select(F.md5(normalized("text")).alias("fp"))
+        .write.format("noop").mode("overwrite").save()
+    )
+
+    # shuffle-shaped job: the full MERGE replay
+    root = f"/root/repo/data/bench/scaling_table_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.monotonic()
+    replay(spark, [SCALING_LOG], root, n_buckets=64, n_epochs=1)
+    merge_sec = round(time.monotonic() - t0, 2)
+    shutil.rmtree(root, ignore_errors=True)
+
+    # CPU-bound ENGINE stage, zero exchanges: parquet decode →
+    # Arrow-vectorized normalize → md5 fingerprint → noop sink. The
+    # engine's own ingest-transform code; its 8→32 scaling demonstrates
+    # the CPU ceiling on real work, not a synthetic busy-loop.
+    t0 = time.monotonic()
+    (
+        spark.read.parquet(SCALING_LOG)
+        .select(F.md5(normalized("text")).alias("fp"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    cpu_stage_sec = round(time.monotonic() - t0, 2)
+    print(json.dumps({"n": n, "n_events": n_events,
+                      "merge_sec": merge_sec,
+                      "cpu_stage_sec": cpu_stage_sec}))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
+    if "--scaling-worker" in sys.argv:
+        scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+        return
 
     from tap_github_search_spark.session import get_spark
 
@@ -200,57 +272,28 @@ def main() -> None:
         return
 
     # --scaling: same jobs, two parallelism levels, same input, reps
-    # INTERLEAVED so VM drift cannot bias one level.
-    from pyspark.sql import functions as F
-
-    from tap_github_search_spark.functions.normalize import normalized
-    from tap_github_search_spark.sources.generator import write_changelog
-    from tap_github_search_spark.streaming.job import replay
+    # INTERLEAVED so VM drift cannot bias one level. Each measurement
+    # runs in a FRESH subprocess (own JVM + own Python gateway):
+    # stopping/recreating a SparkContext inside one Python process
+    # leaves the JVM's PythonAccumulatorV2 pointed at the dead server
+    # and floods every task completion with EOF/broken-pipe retries —
+    # measured-visible driver drag.
+    import subprocess
 
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
     results = {n: {"merge_sec": [], "cpu_stage_sec": []} for n in (8, 32)}
     n_events = None
     for rep in range(reps):
         for n in (8, 32):
-            spark = get_spark(cores=n, shuffle_partitions=n)
-            spark.sparkContext.setLogLevel("ERROR")
-            if not (
-                os.path.isdir(SCALING_LOG)
-                and any(f.endswith(".parquet")
-                        for f in os.listdir(SCALING_LOG))
-            ):
-                t0 = time.monotonic()
-                write_changelog(
-                    spark, SCALING_LOG, SCALING_CONVS, n_files=64,
-                    mutations_per_conv=40.0,
-                )
-                print(f"# generated scaling WAL in "
-                      f"{time.monotonic()-t0:.0f}s", file=sys.stderr)
-            if n_events is None:
-                n_events = spark.read.parquet(SCALING_LOG).count()
-
-            # shuffle-shaped job: the full MERGE replay
-            root = f"/root/repo/data/bench/scaling_table_{n}"
-            shutil.rmtree(root, ignore_errors=True)
-            t0 = time.monotonic()
-            replay(spark, [SCALING_LOG], root, n_buckets=64, n_epochs=1)
-            results[n]["merge_sec"].append(round(time.monotonic() - t0, 2))
-            shutil.rmtree(root, ignore_errors=True)
-
-            # CPU-bound ENGINE stage, zero exchanges: parquet decode →
-            # Arrow-vectorized normalize → md5 fingerprint → noop sink.
-            # This is the engine's own ingest-transform code; its 8→32
-            # scaling demonstrates the CPU ceiling on real work.
-            t0 = time.monotonic()
-            (
-                spark.read.parquet(SCALING_LOG)
-                .select(F.md5(normalized("text")).alias("fp"))
-                .write.format("noop").mode("overwrite").save()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-worker", str(n)],
+                capture_output=True, text=True, check=True,
             )
-            results[n]["cpu_stage_sec"].append(
-                round(time.monotonic() - t0, 2)
-            )
-            spark.stop()
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            n_events = r["n_events"]
+            results[n]["merge_sec"].append(r["merge_sec"])
+            results[n]["cpu_stage_sec"].append(r["cpu_stage_sec"])
         print(f"# rep {rep}: "
               + ", ".join(
                   f"local[{n}] merge={results[n]['merge_sec'][-1]}s "

@@ -54,6 +54,7 @@ import sys
 REQUIRED_CONFIG_KEYS = {"mode", "log_dirs", "table"}
 VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
     "checkpoint", "buckets", "merge_mode", "dedup", "rollup_path",
+    "daily_rollup_path", "compact_every", "max_payload_bytes",
     "epochs", "follow", "cores",
 }
 
@@ -225,8 +226,14 @@ def main(argv: list[str] | None = None) -> int:
         args.merge_mode = cfg.get("merge_mode", "cow")
         args.dedup = cfg.get("dedup", "window")
         args.rollup_path = cfg.get("rollup_path")
+        args.daily_rollup_path = cfg.get("daily_rollup_path")
+        args.compact_every = cfg.get("compact_every")
+        args.max_payload_bytes = cfg.get("max_payload_bytes")
     else:
         args.merge_mode, args.dedup, args.rollup_path = "cow", "window", None
+        args.daily_rollup_path = None
+        args.compact_every = None
+        args.max_payload_bytes = None
 
     from .session import get_spark
 
@@ -253,6 +260,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.log_dir, args.table,
             n_buckets=args.buckets, n_epochs=args.epochs,
             merge_mode=args.merge_mode, dedup=args.dedup,
+            max_payload_bytes=args.max_payload_bytes,
         )
         for r in results:
             print(json.dumps({
@@ -271,6 +279,9 @@ def main(argv: list[str] | None = None) -> int:
         available_now=not args.follow,
         merge_mode=args.merge_mode, dedup=args.dedup,
         rollup_path=args.rollup_path,
+        daily_rollup_path=args.daily_rollup_path,
+        compact_every=args.compact_every,
+        max_payload_bytes=args.max_payload_bytes,
     )
     print(json.dumps({
         "last_committed_epoch": table.last_committed_epoch,

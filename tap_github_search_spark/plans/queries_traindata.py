@@ -572,6 +572,90 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+#: IVF coarse-quantizer size (cells); seeds are a deterministic sample
+IVF_K = 16
+
+
+def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flavored ANN (task brief: 'an IVF or LSH-bucketed variant as
+    the scale path'): a coarse quantizer of ``IVF_K`` cells assigns
+    every vector to its nearest seed centroid (argmin L2, rounded for
+    cross-engine determinism, seed id tie-break); queries probe ONLY
+    their own cell for top-3 cosine neighbors. Seeds here are a
+    deterministic sample (vec_id < K) standing in for k-means training
+    — the assignment/probe dataflow (broadcast centroids → argmin
+    assign → cell-keyed shuffle → within-cell top-k) is exactly the
+    production IVF shape, and cell count scales with corpus size the
+    same way ``ann_bits`` does."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("v", "sv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("_d", F.round(l2, 6))
+        .groupBy("vec_id", "v")
+        .agg(F.min(F.struct("_d", "seed_id")).alias("_c"))
+        .select("vec_id", "v", F.col("_c.seed_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+SQL_EMB_IVF_ANN = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {IVF_K}),
+dist AS (
+  SELECT e.vec_id, e.v, s.seed_id,
+    round(list_sum(list_transform(
+      list_zip(e.v, s.sv), p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+  FROM e, seeds s
+),
+assigned AS (
+  SELECT vec_id, v, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, seed_id) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cell
+      FROM assigned WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, a.vec_id,
+    round(list_dot_product(q.qv, a.v)
+      / (sqrt(list_dot_product(q.qv, q.qv))
+         * sqrt(list_dot_product(a.v, a.v))), 4) AS sim
+  FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+      AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+"""
+
+
 def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension corpus stats via posexplode (positional zip, §2.7
     J2 analog): the embedding-column profiling step before quantization."""
@@ -763,6 +847,7 @@ REGISTRY_TRAINDATA = {
     "docs_bpe_tokens": (q_docs_bpe_tokens, SQL_DOCS_BPE_TOKENS),
     "mm_byte_features": (q_mm_byte_features, SQL_MM_BYTE_FEATURES),
     "emb_lsh_ann": (q_emb_lsh_ann, SQL_EMB_LSH_ANN),
+    "emb_ivf_ann": (q_emb_ivf_ann, SQL_EMB_IVF_ANN),
     "emb_near_dup_pairs": (q_emb_near_dup_pairs, SQL_EMB_NEAR_DUP),
     "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
     "set_ops_keys": (q_set_ops_keys, SQL_SET_OPS),

@@ -64,6 +64,7 @@ def replay(
     n_epochs: int = 1,
     merge_mode: str = "cow",
     dedup: str = "window",
+    max_payload_bytes: int | None = None,
 ) -> tuple[MicroLakeTable, list[MergeResult]]:
     """Batch-replay the whole WAL into a fresh-or-existing table.
 
@@ -78,7 +79,7 @@ def replay(
     log = spark.read.option("mergeSchema", "true").parquet(*log_dirs)
 
     kw = dict(winner_transform=normalize_events, merge_mode=merge_mode,
-              dedup=dedup)
+              dedup=dedup, max_payload_bytes=max_payload_bytes)
     results: list[MergeResult] = []
     if n_epochs <= 1:
         results.append(
@@ -113,11 +114,22 @@ def stream(
     dedup: str = "window",
     rollup_path: str | None = None,
     daily_rollup_path: str | None = None,
+    compact_every: int | None = None,
+    max_payload_bytes: int | None = None,
 ):
     """Tail the WAL with a file streaming source and MERGE each
     microbatch. ``foreachBatch(batchId)`` is the commit epoch; Spark
     re-delivers the in-flight batch on restart and the manifest fence
     makes the replay a no-op (exactly-once).
+
+    ``compact_every``: fold MOR generations back to one file per bucket
+    every K epochs — sustained MOR ingest needs periodic compaction or
+    read amplification grows with epoch count (BENCH/BASELINE.md §5).
+    Compaction is itself a snapshot-isolated commit and re-running it
+    after a crash is a no-op.
+
+    ``max_payload_bytes``: S7 oversize-event reject cap, passed through
+    to ``merge`` (counted in ``events_rejected``).
 
     ``fail_after_batches`` injects a mid-stream crash for resumability
     tests (FIXTURES.md §4).
@@ -153,7 +165,11 @@ def stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         res = table.merge(batch_df, epoch=batch_id,
                           winner_transform=normalize_events,
-                          merge_mode=merge_mode, dedup=dedup)
+                          merge_mode=merge_mode, dedup=dedup,
+                          max_payload_bytes=max_payload_bytes)
+        if (compact_every and not res.skipped
+                and (batch_id + 1) % compact_every == 0):
+            table.compact()
         if maintainer is not None:
             # Derived levels ride the same epoch, fenced independently.
             # Crucially they must ALSO run when the parent skipped (crash

@@ -113,6 +113,54 @@ WHEN NOT MATCHED AND s.op <> 'D'
 """.strip()
 
 
+def rebucket_sql(table: str, old_n: int, new_n: int,
+                 keys: tuple[str, ...] = MERGE_KEYS,
+                 catalog: str = "lake") -> list[str]:
+    """Partition-spec evolution + full rewrite — the Iceberg twin of
+    ``MicroLakeTable.rebucket`` (bucket count grows with table size so
+    per-bucket rewrite cost stays bounded at 10^10 rows). Iceberg's
+    spec evolution only applies to NEW data, so the rewrite_data_files
+    call migrates existing files onto the new spec."""
+    return [
+        f"ALTER TABLE {table} REPLACE PARTITION FIELD "
+        f"bucket({old_n}, {keys[0]}) WITH bucket({new_n}, {keys[0]})",
+        f"CALL {catalog}.system.rewrite_data_files(table => '{table}', "
+        f"options => map('rewrite-all', 'true'))",
+    ]
+
+
+def compact_sql(table: str, catalog: str = "lake") -> str:
+    """Fold MOR delete files / small files — MicroLake ``compact()``."""
+    return f"CALL {catalog}.system.rewrite_data_files(table => '{table}')"
+
+
+def vacuum_sql(table: str, keep_versions: int = 1,
+               grace_hours: int = 1, catalog: str = "lake") -> list[str]:
+    """Snapshot expiry + orphan removal — MicroLake ``vacuum``. The
+    ``older_than`` cutoff is the same in-flight-writer grace window as
+    MicroLake's ``grace_seconds``: files staged by a concurrent commit
+    that has not yet published its snapshot must survive."""
+    return [
+        f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
+        f"retain_last => {keep_versions})",
+        f"CALL {catalog}.system.remove_orphan_files(table => '{table}', "
+        f"older_than => current_timestamp() - INTERVAL {grace_hours} HOURS)",
+    ]
+
+
+def changelog_sql(table: str, start_snapshot: int, end_snapshot: int,
+                  view: str = "tbl_changes", catalog: str = "lake") -> str:
+    """Interval CDC-out — the Iceberg changelog scan MicroLake's
+    incremental ``change_feed`` mirrors (reads only the interval's
+    added files, emits _change_type rows)."""
+    return (
+        f"CALL {catalog}.system.create_changelog_view("
+        f"table => '{table}', changelog_view => '{view}', "
+        f"options => map('start-snapshot-id', '{start_snapshot}', "
+        f"'end-snapshot-id', '{end_snapshot}'))"
+    )
+
+
 def set_epoch_sql(table: str, epoch: int) -> str:
     return (
         f"ALTER TABLE {table} SET TBLPROPERTIES "

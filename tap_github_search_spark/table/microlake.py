@@ -517,6 +517,34 @@ class MicroLakeTable:
                      read_dedup=False)
         return len(multi)
 
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Partition-spec evolution: rewrite the table under a new
+        bucket count (Iceberg's REPLACE PARTITION FIELD +
+        rewrite_data_files). This is the 100 TB growth path — bucket
+        count must scale with table size so per-bucket rewrite cost and
+        per-task winner state stay bounded; a table created at
+        n_buckets=64 eventually needs 4096. One full rewrite,
+        snapshot-isolated like any commit (readers of older manifests
+        keep the old spec); MOR generations are LWW-resolved on the way
+        through, so the result reads plain. Returns the number of data
+        files written."""
+        df = self.raw_df()
+        if self.manifest.get("read_dedup"):
+            df = self._read_lww(self._cluster(df))
+        self.manifest = {**self.manifest, "n_buckets": int(new_n_buckets)}
+        out = df.withColumn("_bucket", self._bucket_expr(self.keys[0]))
+        epoch = self.last_committed_epoch
+        dirname = f"epoch={epoch}.rebucket-{uuid.uuid4().hex[:8]}"
+        (
+            out.repartition(new_n_buckets, self.keys[0])
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, "data", dirname))
+        )
+        new_files = self._list_epoch_files(dirname)
+        self._commit(epoch, new_files, [], metrics=None, read_dedup=False)
+        return len(new_files)
+
     def vacuum(self, keep_versions: int = 1,
                grace_seconds: float = 3600.0) -> int:
         """Delete data files referenced by NO retained manifest version
@@ -581,6 +609,13 @@ class MicroLakeTable:
                     )
         return out
 
+    #: manifest keeps this many most-recent lineage entries inline;
+    #: older entries spill to immutable segment files. Without the
+    #: spill every commit rewrites O(epochs × buckets) JSON — at 10^5
+    #: epochs × 4096 buckets that is a multi-GB manifest write per
+    #: microbatch. With it, commit cost stays O(buckets).
+    LINEAGE_INLINE_MAX = 4096
+
     def _commit(
         self,
         epoch: int,
@@ -602,6 +637,36 @@ class MicroLakeTable:
         m["metrics"] = self.manifest["metrics"] + (
             [metrics] if metrics is not None else []
         )
+        if len(m["lineage"]) > self.LINEAGE_INLINE_MAX:
+            # spill the older half to an immutable segment file BEFORE
+            # the manifest swap: a crash in between leaves an orphan
+            # segment (harmless); the manifest only references the
+            # segment once the swap succeeds. The cut is epoch-aligned
+            # so one epoch's bucket rows never straddle the boundary
+            # (readers can then skip segments whenever the requested
+            # interval is covered by the inline window).
+            keep = self.LINEAGE_INLINE_MAX // 2
+            cut_epoch = m["lineage"][-keep]["commit_epoch"]
+            idx = next(
+                i for i, ln in enumerate(m["lineage"])
+                if ln["commit_epoch"] >= cut_epoch
+            )
+            spill, m["lineage"] = m["lineage"][:idx], m["lineage"][idx:]
+            if spill:
+                seg_dir = os.path.join(self.path, "_lineage")
+                os.makedirs(seg_dir, exist_ok=True)
+                seg_name = (
+                    f"segment-{m['version']:08d}-{uuid.uuid4().hex[:8]}.json"
+                )
+                seg_tmp = os.path.join(seg_dir, f".tmp-{seg_name}")
+                with open(seg_tmp, "w") as f:
+                    json.dump(spill, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(seg_tmp, os.path.join(seg_dir, seg_name))
+                m["lineage_segments"] = self.manifest.get(
+                    "lineage_segments", []
+                ) + [os.path.join("_lineage", seg_name)]
         self._commit_manifest(m)
         self.manifest = m
 
@@ -664,6 +729,26 @@ class MicroLakeTable:
         if turn_idx is not None and len(self.keys) > 1:
             df = df.filter(F.col(self.keys[1]) == turn_idx)
         return df.select(*[f.name for f in self.schema.fields])
+
+    def scan_keys(self, key_values: list[str]) -> DataFrame:
+        """Bucket-pruned multi-key read: hash every key driver-side,
+        read only the union of their buckets' files, then filter — the
+        batch generalization of ``lookup``. For K keys over B buckets
+        the read cost is ≤ min(K, B)/B of the table, independent of
+        table size."""
+        buckets = {
+            murmur3_x86_32(k.encode("utf-8")) % self.n_buckets
+            for k in key_values
+        }
+        files = [f for f in self.manifest["files"] if f["bucket"] in buckets]
+        df = self._read_files(files)
+        if self.manifest.get("read_dedup"):
+            df = self._read_lww(df)
+        return (
+            df.filter(~F.col("_deleted"))
+            .filter(F.col(self.keys[0]).isin(list(key_values)))
+            .select(*[f.name for f in self.schema.fields])
+        )
 
     # ---------------- time travel / change feed ----------------
 
@@ -733,8 +818,8 @@ class MicroLakeTable:
             hi = new.last_committed_epoch
             touched = {
                 int(ln["partition_id"])
-                for ln in new.manifest["lineage"]
-                if lo < ln["commit_epoch"] <= hi
+                for ln in new._lineage_entries(after_epoch=lo)
+                if ln["commit_epoch"] <= hi
             }
             o = old._snapshot_buckets(touched)
             n_df = new._snapshot_buckets(touched)
@@ -774,6 +859,29 @@ class MicroLakeTable:
 
     # ---------------- lineage / metrics views ----------------
 
+    def _lineage_entries(self, after_epoch: int | None = None) -> list[dict]:
+        """Lineage rows (spilled segments + the manifest's inline
+        window), optionally only those with ``commit_epoch >
+        after_epoch``. Segment files are skipped whenever the inline
+        window already covers the requested range — the common case for
+        incremental ``change_feed`` intervals, which keeps the read
+        O(recent), not O(history)."""
+        inline = self.manifest["lineage"]
+        need_segments = bool(self.manifest.get("lineage_segments"))
+        if need_segments and after_epoch is not None and inline:
+            # spill cuts are epoch-aligned, so if the oldest inline epoch
+            # is within the interval start, the inline window is complete
+            need_segments = inline[0]["commit_epoch"] > after_epoch + 1
+        out: list[dict] = []
+        if need_segments:
+            for rel in self.manifest.get("lineage_segments", []):
+                with open(os.path.join(self.path, rel)) as f:
+                    out.extend(json.load(f))
+        out.extend(inline)
+        if after_epoch is not None:
+            out = [ln for ln in out if ln["commit_epoch"] > after_epoch]
+        return out
+
     def lineage_df(self) -> DataFrame:
         from datetime import datetime, timezone
 
@@ -786,7 +894,7 @@ class MicroLakeTable:
                     r["committed_at"], "%Y-%m-%dT%H:%M:%SZ"
                 ).replace(tzinfo=timezone.utc),
             }
-            for r in self.manifest["lineage"]
+            for r in self._lineage_entries()
         ]
         return (
             self.spark.createDataFrame(rows, LINEAGE_SCHEMA)

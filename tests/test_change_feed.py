@@ -231,3 +231,66 @@ def test_change_feed_incremental_matches_full_and_prunes_files(spark, tmp_dir):
     assert all(path_bucket[p] in touched for p in read)
     all_files = set(path_bucket)
     assert read < all_files  # strictly fewer than a full two-snapshot scan
+
+
+def test_lineage_spill_keeps_manifest_bounded(spark, tmp_dir, monkeypatch):
+    """Manifest lineage must not grow with total epoch count (at 10^5
+    epochs × 4096 buckets an unbounded inline list is a multi-GB JSON
+    write per commit): older entries spill to immutable segment files,
+    and lineage_df / incremental change_feed read across the boundary."""
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    monkeypatch.setattr(MicroLakeTable, "LINEAGE_INLINE_MAX", 6)
+    e0 = _events(spark, [(1, "I", "c1", 0, 10, "a"), (2, "I", "c2", 0, 11, "b")])
+    t = MicroLakeTable.create(spark, f"{tmp_dir}/t",
+                              e0.drop("op", "seq").schema, n_buckets=4)
+    v_mid = None
+    for ep in range(8):  # 2 keys/epoch → 1-2 buckets/epoch of lineage
+        t.merge(_events(spark, [(10 + 2 * ep, "U", "c1", 0, 100 + ep, f"a{ep}"),
+                                (11 + 2 * ep, "U", "c2", 0, 100 + ep, f"b{ep}")]),
+                epoch=ep)
+        if ep == 5:
+            v_mid = t.manifest["version"]
+    assert len(t.manifest["lineage"]) <= 6
+    assert t.manifest.get("lineage_segments"), "nothing spilled"
+    # lineage_df sees ALL epochs across the spill boundary
+    lin = t.lineage_df().toPandas()
+    assert sorted(set(lin.commit_epoch)) == list(range(8))
+    # incremental change_feed across the boundary == full-scan oracle
+    inc = t.change_feed(0)
+    full = t.change_feed(0, full_scan=True)
+    key = lambda r: (r["conv_id"], r["_change_type"], r["text"])
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    # an interval covered by the inline window skips segment reads
+    recent = t.change_feed(v_mid)
+    assert recent.count() == full.count()  # same keys touched every epoch
+    # reload from disk: spill state survives
+    t2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert len(t2.lineage_df().toPandas()) == len(lin)
+
+
+def test_scan_keys_bucket_pruned_multi_key_read(spark, tmp_dir):
+    from tap_github_search_spark.sources.generator import write_changelog
+
+    write_changelog(spark, f"{tmp_dir}/log", 200, n_files=4)
+    table, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=16)
+    keys = ["conv_00000003", "conv_00000007", "conv_00000050"]
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in table.scan_keys(keys).collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in table.snapshot_df()
+        .filter(F.col("conv_id").isin(keys)).collect()
+    )
+    assert got == want and got
+    # pruning: reads at most len(keys) of 16 buckets
+    import os
+    read = {os.path.relpath(p.replace("file:", ""), table.path)
+            for p in table.scan_keys(keys).inputFiles()}
+    touched_buckets = {
+        f["bucket"] for f in table.manifest["files"] if f["path"] in read
+    }
+    assert len(touched_buckets) <= len(keys)
+    assert len(read) < len(table.manifest["files"])

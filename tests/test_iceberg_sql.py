@@ -63,3 +63,34 @@ def test_epoch_fence_sql():
     sql = set_epoch_sql("lake.t", 7)
     assert "SET TBLPROPERTIES" in sql
     assert "'engine.last_committed_epoch'='7'" in sql
+
+
+def test_rebucket_sql_spec_evolution():
+    from tap_github_search_spark.table.iceberg import rebucket_sql
+
+    stmts = rebucket_sql("lake.db.t", 64, 4096)
+    assert stmts[0] == (
+        "ALTER TABLE lake.db.t REPLACE PARTITION FIELD "
+        "bucket(64, conv_id) WITH bucket(4096, conv_id)"
+    )
+    assert "rewrite_data_files" in stmts[1]
+    assert "'rewrite-all', 'true'" in stmts[1]
+
+
+def test_maintenance_sql_vacuum_grace_and_changelog():
+    from tap_github_search_spark.table.iceberg import (
+        changelog_sql,
+        compact_sql,
+        vacuum_sql,
+    )
+
+    assert compact_sql("lake.db.t") == (
+        "CALL lake.system.rewrite_data_files(table => 'lake.db.t')"
+    )
+    v = vacuum_sql("lake.db.t", keep_versions=3, grace_hours=2)
+    assert "retain_last => 3" in v[0]
+    # the in-flight-writer grace window MicroLake's grace_seconds models
+    assert "older_than => current_timestamp() - INTERVAL 2 HOURS" in v[1]
+    c = changelog_sql("lake.db.t", 11, 42)
+    assert "'start-snapshot-id', '11'" in c
+    assert "'end-snapshot-id', '42'" in c

@@ -142,3 +142,60 @@ def test_mor_streaming_crash_restart(spark, tmp_dir):
     got = _canon(t.snapshot_df().toPandas())
     oracle = _canon(_oracle(f"{tmp_dir}/log/*.parquet"))
     pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+
+
+def test_stream_auto_compaction_bounds_generations(spark, tmp_dir):
+    """MOR streaming with compact_every: generations fold back to one
+    file per bucket periodically, final state still exact vs oracle."""
+    from tests.test_engine import _assert_table_equals_oracle
+
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=8, delete_pct=20)
+    table = stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                   f"{tmp_dir}/ckpt", n_buckets=8, max_files_per_trigger=2,
+                   merge_mode="mor", compact_every=2)
+    _assert_table_equals_oracle(table, f"'{tmp_dir}/log/*.parquet'")
+    # last compaction ran on the final even epoch; at most one
+    # uncompacted generation can sit on top of the compacted one
+    per_bucket: dict[int, int] = {}
+    for f in table.manifest["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert max(per_bucket.values()) <= 2
+    # crash-safety: replaying the stream is a fenced no-op
+    t2 = stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                f"{tmp_dir}/ckpt", merge_mode="mor", compact_every=2)
+    _assert_table_equals_oracle(t2, f"'{tmp_dir}/log/*.parquet'")
+
+
+def test_rebucket_partition_spec_evolution(spark, tmp_dir):
+    """The 100 TB growth path: rewrite the table under a larger bucket
+    count; snapshot identical, old versions still read the old spec,
+    merges and point lookups work under the new spec."""
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+    from tests.test_engine import _events
+
+    write_changelog(spark, f"{tmp_dir}/log", 200, n_files=4, delete_pct=20)
+    table, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=4,
+                      n_epochs=2, merge_mode="mor")
+    before = table.snapshot_df().orderBy("conv_id", "turn_idx").collect()
+    v_old = table.manifest["version"]
+
+    n_files = table.rebucket(16)
+    assert table.n_buckets == 16
+    assert n_files > 4  # more buckets → more files
+    assert {f["bucket"] for f in table.manifest["files"]} <= set(range(16))
+    after = table.snapshot_df().orderBy("conv_id", "turn_idx").collect()
+    assert before == after
+    # time travel: the pre-rebucket snapshot still reads under 4 buckets
+    old = MicroLakeTable.load(spark, f"{tmp_dir}/t", v_old)
+    assert old.n_buckets == 4
+    assert old.snapshot_df().count() == len(before)
+
+    # post-rebucket merge + lookup use the new spec
+    key = before[0]["conv_id"]
+    e = _events(spark, [(10_000_000, "U", key, before[0]["turn_idx"],
+                         10**6, "rebucketed")])
+    table.merge(e, epoch=table.last_committed_epoch + 1)
+    got = table.lookup(key, turn_idx=before[0]["turn_idx"]).collect()
+    assert len(got) == 1 and got[0]["text"] == "rebucketed"
+    # a fresh load sees the evolved spec
+    assert MicroLakeTable.load(spark, f"{tmp_dir}/t").n_buckets == 16
