@@ -294,3 +294,77 @@ def test_scan_keys_bucket_pruned_multi_key_read(spark, tmp_dir):
     }
     assert len(touched_buckets) <= len(keys)
     assert len(read) < len(table.manifest["files"])
+
+
+def test_concurrent_loser_retries_with_new_epoch(spark, tmp_dir):
+    """The documented recovery protocol for a losing writer: reload,
+    re-derive epoch = last_committed_epoch + 1, retry — BOTH writers'
+    batches must land (retrying with the same epoch would silently drop
+    the loser's batch via the fence)."""
+    import pytest
+
+    from tap_github_search_spark.table.microlake import (
+        ConcurrentCommitError,
+        MicroLakeTable,
+    )
+
+    e0 = _events(spark, [(1, "I", "c1", 0, 10, "base")])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=4)
+
+    w1 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    w2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    e1 = _events(spark, [(2, "I", "c2", 0, 20, "from-w1")])
+    e2 = _events(spark, [(3, "I", "c3", 0, 30, "from-w2")])
+    w1.merge(e1, epoch=w1.last_committed_epoch + 1)
+    with pytest.raises(ConcurrentCommitError):
+        w2.merge(e2, epoch=1)
+    # loser recovery: reload → NEW epoch → retry
+    w2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    res = w2.merge(e2, epoch=w2.last_committed_epoch + 1)
+    assert not res.skipped
+    rows = {r["conv_id"]: r["text"] for r in w2.snapshot_df().collect()}
+    assert rows == {"c1": "base", "c2": "from-w1", "c3": "from-w2"}
+
+
+def test_change_feed_random_interval_property(spark, tmp_dir):
+    """Property over a random multi-epoch history: for EVERY version
+    pair (v1, v2), incremental change_feed == full-scan diff == a
+    pandas recompute from the two time-travel snapshots."""
+    from tap_github_search_spark.sources.generator import write_changelog
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    write_changelog(spark, f"{tmp_dir}/log", 80, n_files=4, seed=99,
+                    delete_pct=30, out_of_order_pct=40)
+    table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                            n_buckets=8, n_epochs=3, merge_mode="mor")
+    versions = [h["version"] for h in table.history()]
+    payload = [f.name for f in table.schema.fields]
+
+    def snap(v):
+        return {
+            (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in payload)
+            for r in MicroLakeTable.load(spark, f"{tmp_dir}/t", v)
+            .snapshot_df().collect()
+        }
+
+    pairs = [(a, b) for a in versions for b in versions if a < b][-6:]
+    for v1, v2 in pairs:
+        s1, s2 = snap(v1), snap(v2)
+        expect = {}
+        for k in s2.keys() - s1.keys():
+            expect[k] = "insert"
+        for k in s1.keys() - s2.keys():
+            expect[k] = "delete"
+        for k in s1.keys() & s2.keys():
+            if s1[k] != s2[k]:
+                expect[k] = "update"
+        inc = {
+            (r["conv_id"], r["turn_idx"]): r["_change_type"]
+            for r in table.change_feed(v1, v2).collect()
+        }
+        full = {
+            (r["conv_id"], r["turn_idx"]): r["_change_type"]
+            for r in table.change_feed(v1, v2, full_scan=True).collect()
+        }
+        assert inc == full == expect, (v1, v2)
