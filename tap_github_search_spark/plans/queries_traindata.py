@@ -63,7 +63,14 @@ sh AS (
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh:array<string>) — distinct lowercase word-3-shingles."""
+    """(doc_id, sh:array<string>) — distinct lowercase word-3-shingles.
+
+    Lineage-truncated (lazy localCheckpoint): the LSH queries reference
+    this frame from 3+ self-join branches, and without truncation each
+    branch re-runs the regex tokenize + md5 shingling over the whole
+    corpus — at 100 TB that's the dominant cost ×3. With it, shingling
+    runs once and every branch reads the materialized partitions
+    (plan-audited in test_plans.py)."""
     return (
         _t(spark, sf_dir, "documents")
         .select(
@@ -73,6 +80,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -456,7 +464,12 @@ def _ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", sign_bucket_dynamic(F.col("v"), F.col("_bits")))
         .drop("_bits")
     )
-    return cap_buckets(emb, ["bucket"], "vec_id", ANN_BUCKET_CAP)
+    # lineage-truncated: the ANN queries self-join this frame (probe
+    # side, corpus side, hot-bucket sizing) — without truncation each
+    # branch re-scans the corpus and re-derives the buckets.
+    return cap_buckets(
+        emb, ["bucket"], "vec_id", ANN_BUCKET_CAP
+    ).localCheckpoint(eager=False)
 
 
 def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +617,9 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "v")
         .agg(F.min(F.struct("_d", "seed_id")).alias("_c"))
         .select("vec_id", "v", F.col("_c.seed_id").alias("cell"))
+        # lineage-truncated: probed from two branches below — without
+        # it each branch re-runs the K-way distance assignment.
+        .localCheckpoint(eager=False)
     )
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
