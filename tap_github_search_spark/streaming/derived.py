@@ -186,16 +186,25 @@ class RollupMaintainer:
             .join(F.broadcast(affected), "conv_id")
             .select(_day_col().alias("day"))
         )
-        prev_versions = [
-            h["version"] for h in self.child.history()
-            if h["last_committed_epoch"] < epoch
-        ]
-        if prev_versions:
+        # newest child version committed before this epoch: walk versions
+        # downward from the current manifest (1-2 loads in steady state)
+        # instead of history(), which parses EVERY manifest ever written
+        # — O(versions) driver work per epoch that compounds to
+        # O(epochs²) over a long stream.
+        prev = None
+        v = self.child.manifest["version"]
+        while v >= 0:
+            try:
+                cand = MicroLakeTable.load(self.spark, self.child.path, v)
+            except FileNotFoundError:
+                break  # expired by vacuum → no pre-epoch days available
+            if cand.last_committed_epoch < epoch:
+                prev = cand
+                break
+            v -= 1
+        if prev is not None:
             old = (
-                MicroLakeTable.load(
-                    self.spark, self.child.path, max(prev_versions)
-                )
-                .snapshot_df()
+                prev.snapshot_df()
                 .join(F.broadcast(affected), "conv_id")
                 .select(_day_col().alias("day"))
             )

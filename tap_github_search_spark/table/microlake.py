@@ -163,7 +163,14 @@ class MicroLakeTable:
     ) -> DataFrame:
         """Read data files under ``schema`` (default: current table
         schema); columns added after a file was written surface as NULL
-        (schema-evolution read)."""
+        (schema-evolution read).
+
+        The schema is passed to the reader EXPLICITLY — the manifest is
+        authoritative, evolution is add-nullable-column-only, and the
+        parquet reader null-fills columns missing from a file. A
+        ``mergeSchema`` read would instead launch a footer-merging job
+        over every file at plan time: O(files) driver work per query,
+        a real tax at 10^5 files."""
         meta_schema = T.StructType(
             list((schema or self.schema).fields)
             + [T.StructField("_seq", T.LongType()),
@@ -172,11 +179,10 @@ class MicroLakeTable:
         if not files:
             return self.spark.createDataFrame([], meta_schema)
         paths = [os.path.join(self.path, f["path"]) for f in files]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        for fld in meta_schema.fields:
-            if fld.name not in df.columns:
-                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-        return df.select(*[f.name for f in meta_schema.fields])
+        return (
+            self.spark.read.schema(meta_schema).parquet(*paths)
+            .select(*[f.name for f in meta_schema.fields])
+        )
 
     def raw_df(self) -> DataFrame:
         """All live + tombstone rows with engine metadata (every file
