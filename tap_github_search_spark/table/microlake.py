@@ -481,7 +481,8 @@ class MicroLakeTable:
 
     # ---------------- maintenance ----------------
 
-    def compact(self, drop_tombstones: bool = False) -> int:
+    def compact(self, drop_tombstones: bool = False,
+                max_buckets: int | None = None) -> int:
         """Rewrite every multi-file bucket into a single file (Iceberg's
         rewrite_data_files action), resolving MOR generations with LWW
         along the way — afterwards the table reads plain again
@@ -489,12 +490,26 @@ class MicroLakeTable:
         readers of the old manifest keep their file list. With
         ``drop_tombstones`` the delete markers are garbage-collected —
         only safe once no replayable WAL segment predates them.
-        Returns the number of buckets rewritten."""
+
+        ``max_buckets`` bounds one compaction commit (the worst buckets
+        — most file generations — first): at 10^10 rows a full-table
+        compaction in a single job is neither necessary nor wise; run
+        incremental rounds instead (Iceberg's rewrite job groups).
+        Note: ``read_dedup`` stays set until NO multi-generation bucket
+        remains. Returns the number of buckets rewritten."""
         by_bucket: dict[int, list[dict]] = {}
         for f in self.manifest["files"]:
             by_bucket.setdefault(f["bucket"], []).append(f)
         multi = {b: fs for b, fs in by_bucket.items()
                  if len(fs) > 1 or drop_tombstones}
+        remaining_multi = 0
+        if max_buckets is not None and len(multi) > max_buckets:
+            worst = sorted(multi, key=lambda b: -len(multi[b]))[:max_buckets]
+            remaining_multi = sum(
+                1 for b, fs in multi.items()
+                if b not in worst and len(fs) > 1
+            )
+            multi = {b: multi[b] for b in worst}
         if not multi:
             if self.manifest.get("read_dedup"):
                 # single-generation everywhere → safe to clear the flag
@@ -519,8 +534,13 @@ class MicroLakeTable:
         )
         keep = [f for f in self.manifest["files"] if f["bucket"] not in multi]
         new_files = self._list_epoch_files(dirname)
+        # a bounded (max_buckets) round may leave multi-generation
+        # buckets behind — readers must keep resolving LWW until none
+        # remain
+        still_dedup = bool(self.manifest.get("read_dedup")) and \
+            remaining_multi > 0
         self._commit(epoch, keep + new_files, [], metrics=None,
-                     read_dedup=False)
+                     read_dedup=still_dedup)
         return len(multi)
 
     def rebucket(self, new_n_buckets: int) -> int:
@@ -621,6 +641,34 @@ class MicroLakeTable:
     #: epochs × 4096 buckets that is a multi-GB manifest write per
     #: microbatch. With it, commit cost stays O(buckets).
     LINEAGE_INLINE_MAX = 4096
+    #: same mechanism for per-epoch metrics (1 row/epoch, O(epochs))
+    METRICS_INLINE_MAX = 4096
+
+    def _spill_rows(self, rows: list[dict], kind: str, keep: int,
+                    version: int) -> tuple[list[dict], list[str]]:
+        """Move the older slice of ``rows`` into an immutable segment
+        file under ``_{kind}/`` (epoch-aligned cut), returning the
+        retained inline rows + the new segment's relative path list.
+        Written BEFORE the manifest swap: a crash leaves an orphan
+        segment, never a dangling reference."""
+        cut_epoch = rows[-keep]["commit_epoch"]
+        idx = next(
+            i for i, r in enumerate(rows)
+            if r["commit_epoch"] >= cut_epoch
+        )
+        spill, inline = rows[:idx], rows[idx:]
+        if not spill:
+            return inline, []
+        seg_dir = os.path.join(self.path, f"_{kind}")
+        os.makedirs(seg_dir, exist_ok=True)
+        seg_name = f"segment-{version:08d}-{uuid.uuid4().hex[:8]}.json"
+        seg_tmp = os.path.join(seg_dir, f".tmp-{seg_name}")
+        with open(seg_tmp, "w") as f:
+            json.dump(spill, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(seg_tmp, os.path.join(seg_dir, seg_name))
+        return inline, [os.path.join(f"_{kind}", seg_name)]
 
     def _commit(
         self,
@@ -651,28 +699,21 @@ class MicroLakeTable:
             # so one epoch's bucket rows never straddle the boundary
             # (readers can then skip segments whenever the requested
             # interval is covered by the inline window).
-            keep = self.LINEAGE_INLINE_MAX // 2
-            cut_epoch = m["lineage"][-keep]["commit_epoch"]
-            idx = next(
-                i for i, ln in enumerate(m["lineage"])
-                if ln["commit_epoch"] >= cut_epoch
+            m["lineage"], new_segs = self._spill_rows(
+                m["lineage"], "lineage", self.LINEAGE_INLINE_MAX // 2,
+                m["version"],
             )
-            spill, m["lineage"] = m["lineage"][:idx], m["lineage"][idx:]
-            if spill:
-                seg_dir = os.path.join(self.path, "_lineage")
-                os.makedirs(seg_dir, exist_ok=True)
-                seg_name = (
-                    f"segment-{m['version']:08d}-{uuid.uuid4().hex[:8]}.json"
-                )
-                seg_tmp = os.path.join(seg_dir, f".tmp-{seg_name}")
-                with open(seg_tmp, "w") as f:
-                    json.dump(spill, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(seg_tmp, os.path.join(seg_dir, seg_name))
-                m["lineage_segments"] = self.manifest.get(
-                    "lineage_segments", []
-                ) + [os.path.join("_lineage", seg_name)]
+            m["lineage_segments"] = self.manifest.get(
+                "lineage_segments", []
+            ) + new_segs
+        if len(m["metrics"]) > self.METRICS_INLINE_MAX:
+            m["metrics"], new_segs = self._spill_rows(
+                m["metrics"], "metrics", self.METRICS_INLINE_MAX // 2,
+                m["version"],
+            )
+            m["metrics_segments"] = self.manifest.get(
+                "metrics_segments", []
+            ) + new_segs
         self._commit_manifest(m)
         self.manifest = m
 
@@ -915,7 +956,12 @@ class MicroLakeTable:
         # committed (e.g. events_rejected) so pre-existing tables stay
         # readable — the manifest, like an Iceberg snapshot, is immutable.
         defaults = {"events_rejected": 0}
-        rows = [{**defaults, **r} for r in self.manifest["metrics"]]
+        raw: list[dict] = []
+        for rel in self.manifest.get("metrics_segments", []):
+            with open(os.path.join(self.path, rel)) as f:
+                raw.extend(json.load(f))
+        raw.extend(self.manifest["metrics"])
+        rows = [{**defaults, **r} for r in raw]
         return self.spark.createDataFrame(rows, METRICS_SCHEMA) if rows else \
             self.spark.createDataFrame([], METRICS_SCHEMA)
 

@@ -199,3 +199,56 @@ def test_rebucket_partition_spec_evolution(spark, tmp_dir):
     assert len(got) == 1 and got[0]["text"] == "rebucketed"
     # a fresh load sees the evolved spec
     assert MicroLakeTable.load(spark, f"{tmp_dir}/t").n_buckets == 16
+
+
+def test_incremental_compaction_rounds(spark, tmp_dir):
+    """compact(max_buckets=K) compacts the worst buckets first, keeps
+    read_dedup until no multi-generation bucket remains, and converges
+    over rounds with the final state intact."""
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=6, delete_pct=20)
+    table, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                      n_buckets=8, n_epochs=4, merge_mode="mor")
+    before = table.snapshot_df().orderBy("conv_id", "turn_idx").collect()
+    assert table.manifest["read_dedup"]
+
+    def multi_buckets():
+        per = {}
+        for f in table.manifest["files"]:
+            per[f["bucket"]] = per.get(f["bucket"], 0) + 1
+        return sum(1 for v in per.values() if v > 1)
+
+    assert multi_buckets() > 2
+    n1 = table.compact(max_buckets=2)
+    assert n1 == 2
+    assert table.manifest["read_dedup"]  # generations remain elsewhere
+    mid = table.snapshot_df().orderBy("conv_id", "turn_idx").collect()
+    assert mid == before
+    rounds = 0
+    while multi_buckets() and rounds < 10:
+        table.compact(max_buckets=2)
+        rounds += 1
+    assert multi_buckets() == 0
+    assert not table.manifest.get("read_dedup")
+    assert table.snapshot_df().orderBy("conv_id", "turn_idx").collect() == before
+
+
+def test_metrics_segment_spill(spark, tmp_dir, monkeypatch):
+    """Per-epoch metrics spill like lineage: the manifest's inline list
+    stays bounded and metrics_df still sees every epoch."""
+    from tests.test_engine import _events
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    monkeypatch.setattr(MicroLakeTable, "METRICS_INLINE_MAX", 4)
+    e0 = _events(spark, [(1, "I", "c1", 0, 10)])
+    t = MicroLakeTable.create(spark, f"{tmp_dir}/t",
+                              e0.drop("op", "seq").schema, n_buckets=4)
+    for ep in range(7):
+        t.merge(_events(spark, [(10 + ep, "U", "c1", 0, 100 + ep, f"v{ep}")]),
+                epoch=ep)
+    assert len(t.manifest["metrics"]) <= 4
+    assert t.manifest.get("metrics_segments")
+    m = t.metrics_df().toPandas()
+    assert sorted(m.commit_epoch) == list(range(7))
+    # reload from disk sees the same
+    t2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert len(t2.metrics_df().toPandas()) == 7
