@@ -220,6 +220,79 @@ FROM winners GROUP BY commit_epoch
 """
 
 
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC *out* through the real engine: replay the WAL as 2 commit
+    epochs, then emit the incremental change feed between the epoch-0
+    snapshot and the final snapshot (insert/update/delete net rows,
+    pre-image payload for deletes — Delta CDF / Iceberg changelog
+    analog). The oracle recomputes the same diff from the WAL directly:
+    winners of the first seq-slice vs winners of the whole log."""
+    import shutil
+    import uuid
+
+    from ..streaming.job import replay
+
+    sf = sf_from_dir(sf_dir)
+    ensure_changelog(spark, sf)
+    path = f"/root/repo/data/tmp/feed_q_{uuid.uuid4().hex[:8]}"
+    try:
+        table, _ = replay(
+            spark, [changelog_dir(sf)], path, n_buckets=32, n_epochs=2
+        )
+        v0 = min(
+            h["version"] for h in table.history()
+            if h["last_committed_epoch"] == 0
+        )
+        feed = table.change_feed(v0).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "_change_type",
+        )
+        feed = feed.localCheckpoint()  # materialize before dir cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return feed
+
+
+# mirrors replay(n_epochs=2): epoch 0 covers seq in [lo, lo+step)
+SQL_CDC_CHANGE_FEED = f"""
+WITH bounds AS (
+  SELECT min(seq) AS lo, greatest(1, (max(seq) - min(seq) + 1) // 2) AS step
+  FROM read_parquet('{_ORACLE_LOG}')
+),
+w0 AS (
+  SELECT conv_id, turn_idx, role, {_NORM} AS text, tool, ts FROM (
+    SELECT l.*, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM read_parquet('{_ORACLE_LOG}') l, bounds b
+    WHERE l.seq < b.lo + b.step
+  ) WHERE rn = 1 AND op <> 'D'
+),
+w1 AS (
+  SELECT conv_id, turn_idx, role, {_NORM} AS text, tool, ts FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM read_parquet('{_ORACLE_LOG}')
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(w1.conv_id, w0.conv_id) AS conv_id,
+       coalesce(w1.turn_idx, w0.turn_idx) AS turn_idx,
+       coalesce(w1.role, w0.role) AS role,
+       coalesce(w1.text, w0.text) AS text,
+       coalesce(w1.tool, w0.tool) AS tool,
+       coalesce(w1.ts, w0.ts) AS ts,
+       CASE WHEN w0.conv_id IS NULL THEN 'insert'
+            WHEN w1.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS _change_type
+FROM w0 FULL OUTER JOIN w1
+  ON w0.conv_id = w1.conv_id AND w0.turn_idx = w1.turn_idx
+WHERE w0.conv_id IS NULL OR w1.conv_id IS NULL
+   OR NOT (w0.role IS NOT DISTINCT FROM w1.role
+           AND w0.text IS NOT DISTINCT FROM w1.text
+           AND w0.tool IS NOT DISTINCT FROM w1.tool
+           AND w0.ts IS NOT DISTINCT FROM w1.ts)
+"""
+
+
 def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the stateful streaming
     operator in streaming/sessions.py): sessions of event activity per
@@ -855,6 +928,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "explode_props_map": (q_explode_props_map, SQL_EXPLODE_PROPS_MAP),
     "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
     "cdc_lineage": (q_cdc_lineage, SQL_CDC_LINEAGE),
+    "cdc_change_feed": (q_cdc_change_feed, SQL_CDC_CHANGE_FEED),
     "conv_sessions": (q_conv_sessions, SQL_CONV_SESSIONS),
     "cdc_conv_rollup": (q_cdc_conv_rollup, SQL_CDC_CONV_ROLLUP),
     "cdc_month_fanout": (q_cdc_month_fanout, SQL_CDC_MONTH_FANOUT),
