@@ -576,6 +576,78 @@ GROUP BY n_name
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (task-brief custom-operator case): for every 'error'
+    event, the latest preceding (ts ≤ error ts) non-error event of the
+    same user. Implemented the way it survives 100 TB — NOT as a
+    join-then-prune (which materializes every (probe, earlier-ref)
+    pair): both sides are unioned with a side marker and a single
+    partitioned window carries the last non-null reference forward, so
+    the cost is one shuffle + one linear pass per user. The DuckDB
+    oracle is the native ``ASOF LEFT JOIN``, cross-checking our
+    formulation against an independent implementation. References with
+    tied (user, ts) are deduped to max event_id first so both engines
+    resolve ties identically."""
+    ev = _t(spark, sf_dir, "events")
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    ref = (
+        ev.filter(F.col("event_type") != "error")
+        .withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("ref_event_id"),
+            F.col("value").alias("ref_value"),
+            F.lit(0).alias("_is_probe"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("ref_event_id"),
+        F.lit(None).cast("double").alias("ref_value"),
+        F.lit(1).alias("_is_probe"),
+        "event_id",
+    )
+    # refs sort before probes at equal ts → "at or before" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ref.unionByName(probe)
+        .withColumn("_ref", F.last("ref_event_id", ignorenulls=True).over(w))
+        .withColumn("_val", F.last("ref_value", ignorenulls=True).over(w))
+        .filter(F.col("_is_probe") == 1)
+        .select(
+            "event_id", "user_id",
+            F.col("_ref").alias("ref_event_id"),
+            F.round("_val", 2).alias("ref_value"),
+        )
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH ref AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type <> 'error'
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, p.user_id, r.event_id AS ref_event_id,
+       round(r.value, 2) AS ref_value
+FROM probe p ASOF LEFT JOIN ref r
+  ON p.user_id = r.user_id AND r.ts <= p.ts
+"""
+
+
 def q_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONPath record extraction (P13/U1): pull typed fields out of the
     JSON payload column — from_json instead of per-row json.loads."""
@@ -938,6 +1010,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_user_counts": (q_agg_user_counts, SQL_AGG_USER),
     "join_enrich_orders": (q_join_enrich_orders, SQL_JOIN_ENRICH),
     "flatten_props": (q_flatten_props, SQL_FLATTEN_PROPS),
+    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF),
     "topk_events": (q_topk_events, SQL_TOPK),
     "extract_source_key": (q_extract_source_key, SQL_EXTRACT_SOURCE),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
