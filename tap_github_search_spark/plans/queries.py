@@ -648,6 +648,49 @@ FROM probe p ASOF LEFT JOIN ref r
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (task-brief custom-operator case): per 'error' event,
+    how many non-error events of the same user fall within ±24 hours.
+    Scale path = GRANULE BUCKETING, not an inequality join: each probe
+    explodes to its day granule ±1, references carry their single
+    granule, and the range predicate becomes an equi-join on
+    (user, granule) + a residual filter — a naive theta-join would
+    force a per-user cross product (O(n²) in the hot user). Each
+    (probe, ref) pair meets on exactly one granule, so a plain count
+    needs no dedup. Inner-join semantics: probes with zero nearby
+    events are absent (matches the SQL oracle's plain join)."""
+    H = 24 * 3600
+    ev = _t(spark, sf_dir, "events")
+    g = F.floor(F.unix_timestamp("ts") / H)
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts",
+        F.explode(F.array(g - 1, g, g + 1)).alias("granule"),
+    )
+    ref = ev.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("ts").alias("ref_ts"),
+        g.alias("granule"),
+    )
+    lo = F.col("ts") - F.expr("INTERVAL 24 HOURS")
+    hi = F.col("ts") + F.expr("INTERVAL 24 HOURS")
+    return (
+        probe.join(ref, ["user_id", "granule"])
+        .filter((F.col("ref_ts") >= lo) & (F.col("ref_ts") <= hi))
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, count(*) AS n_nearby
+FROM events p JOIN events r
+  ON p.user_id = r.user_id AND r.event_type <> 'error'
+ AND r.ts BETWEEN p.ts - INTERVAL 24 HOURS AND p.ts + INTERVAL 24 HOURS
+WHERE p.event_type = 'error'
+GROUP BY 1, 2
+"""
+
+
 def q_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONPath record extraction (P13/U1): pull typed fields out of the
     JSON payload column — from_json instead of per-row json.loads."""
@@ -1011,6 +1054,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_enrich_orders": (q_join_enrich_orders, SQL_JOIN_ENRICH),
     "flatten_props": (q_flatten_props, SQL_FLATTEN_PROPS),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "topk_events": (q_topk_events, SQL_TOPK),
     "extract_source_key": (q_extract_source_key, SQL_EXTRACT_SOURCE),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
