@@ -691,6 +691,39 @@ GROUP BY 1, 2
 """
 
 
+def q_events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (task-brief custom-operator case): the
+    TimescaleDB continuous-aggregate shape — one pass over the events
+    hypertable producing BOTH hour- and day-granularity rollups per
+    event type (granule exploded from a literal array → still a single
+    scan + one map-side-combinable aggregate). The streaming-maintained
+    twin of this shape is streaming/derived.py's daily rollup; this is
+    the batch/backfill form."""
+    ev = _t(spark, sf_dir, "events")
+    g = F.explode(F.array(F.lit("hour"), F.lit("day"))).alias("granule")
+    bucket = F.when(
+        F.col("granule") == "hour", F.date_trunc("hour", F.col("ts"))
+    ).otherwise(F.date_trunc("day", F.col("ts")))
+    return (
+        ev.select("ts", "event_type", "value", g)
+        .groupBy("granule", bucket.alias("bucket_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_HYPERTABLE = """
+SELECT g.granule,
+       CASE WHEN g.granule = 'hour' THEN date_trunc('hour', ts)
+            ELSE date_trunc('day', ts) END AS bucket_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events, (SELECT unnest(['hour', 'day']) AS granule) g
+GROUP BY 1, 2, 3
+"""
+
+
 def q_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONPath record extraction (P13/U1): pull typed fields out of the
     JSON payload column — from_json instead of per-row json.loads."""
@@ -1055,6 +1088,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "flatten_props": (q_flatten_props, SQL_FLATTEN_PROPS),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "events_hypertable_rollup": (q_events_hypertable_rollup,
+                                 SQL_EVENTS_HYPERTABLE),
     "topk_events": (q_topk_events, SQL_TOPK),
     "extract_source_key": (q_extract_source_key, SQL_EXTRACT_SOURCE),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
