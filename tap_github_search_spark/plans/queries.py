@@ -372,11 +372,17 @@ def q_cdc_month_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     bk = log.groupBy("conv_id").agg(
         F.date_trunc("month", F.min("ts")).alias("bookmark_month")
     )
-    maxm = log.select(F.date_trunc("month", F.max("ts")).alias("m")).first()["m"]
+    # global last month as a broadcast 1-row frame: keeps the plan fully
+    # lazy — a .first() here would run an extra eager job per call
+    maxm = log.agg(
+        F.to_date(F.date_trunc("month", F.max("ts"))).alias("_max_month")
+    )
+    bk = bk.crossJoin(F.broadcast(maxm))
     # Spark's sequence() raises when start > stop (DuckDB returns empty):
     # drop conversations already bookmarked at the last month.
     bk = bk.filter(
-        F.add_months(F.to_date(F.col("bookmark_month")), 1) <= F.lit(maxm.date())
+        F.add_months(F.to_date(F.col("bookmark_month")), 1)
+        <= F.col("_max_month")
     )
     return (
         bk.withColumn(
@@ -384,7 +390,7 @@ def q_cdc_month_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.sequence(
                     F.to_date(F.col("bookmark_month")) + F.expr("INTERVAL 1 MONTH"),
-                    F.lit(maxm.date()),
+                    F.col("_max_month"),
                     F.expr("INTERVAL 1 MONTH"),
                 )
             ),
@@ -413,8 +419,11 @@ LATERAL (
 def q_cdc_bookmark_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bookmark-based incremental pruning (I1/I7/J3): count mutation
     events strictly newer than each conversation's bookmark (= max insert
-    ts). The bookmark frame is broadcast: it is small relative to the
-    log, exactly like the reference's state dict."""
+    ts). The bookmark frame is broadcast — correct at the reference's
+    bookmark cardinality (one per search/org, 10²-10⁴ entries, a small
+    state dict). If bookmarks were tracked per conversation at 10^8+
+    keys, drop the hint: both sides hash-partition on conv_id and the
+    join becomes a co-partitioned shuffle join instead."""
     log = _log(spark, sf_dir)
     bk = log.filter(F.col("op") == "I").groupBy("conv_id").agg(
         F.max("ts").alias("bookmark_ts")
