@@ -55,7 +55,7 @@ REQUIRED_CONFIG_KEYS = {"mode", "log_dirs", "table"}
 VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
     "checkpoint", "buckets", "merge_mode", "dedup", "rollup_path",
     "daily_rollup_path", "compact_every", "max_payload_bytes",
-    "epochs", "follow", "cores",
+    "stream_map", "epochs", "follow", "cores",
 }
 
 
@@ -229,11 +229,13 @@ def main(argv: list[str] | None = None) -> int:
         args.daily_rollup_path = cfg.get("daily_rollup_path")
         args.compact_every = cfg.get("compact_every")
         args.max_payload_bytes = cfg.get("max_payload_bytes")
+        args.stream_map = cfg.get("stream_map")
     else:
         args.merge_mode, args.dedup, args.rollup_path = "cow", "window", None
         args.daily_rollup_path = None
         args.compact_every = None
         args.max_payload_bytes = None
+        args.stream_map = None
 
     from .session import get_spark
 
@@ -261,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets, n_epochs=args.epochs,
             merge_mode=args.merge_mode, dedup=args.dedup,
             max_payload_bytes=args.max_payload_bytes,
+            stream_map=args.stream_map,
         )
         for r in results:
             print(json.dumps({
@@ -282,6 +285,7 @@ def main(argv: list[str] | None = None) -> int:
         daily_rollup_path=args.daily_rollup_path,
         compact_every=args.compact_every,
         max_payload_bytes=args.max_payload_bytes,
+        stream_map=args.stream_map,
     )
     print(json.dumps({
         "last_committed_epoch": table.last_committed_epoch,

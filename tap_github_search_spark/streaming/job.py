@@ -34,6 +34,54 @@ def discover_schema(spark: SparkSession, *log_dirs: str) -> T.StructType:
     return spark.read.option("mergeSchema", "true").parquet(*log_dirs).schema
 
 
+#: columns the stream-map must not redefine, drop, or depend on removing
+_PROTECTED = ("op", "seq", "conv_id", "turn_idx")
+
+
+def validate_stream_map(spec: dict) -> dict:
+    """Validate a stream-map spec (Singer SDK ``stream_maps`` analog,
+    /root/reference/tap_github/tap.py:101-102): declarative inline
+    transforms supplied via config — computed columns (Spark-SQL
+    expressions), a row filter, and column drops. Raises ValueError on
+    unknown keys or attempts to touch WAL/merge-key columns."""
+    unknown = set(spec) - {"columns", "filter", "drop"}
+    if unknown:
+        raise ValueError(f"unknown stream_map keys: {sorted(unknown)}")
+    bad = set(spec.get("columns", {})) & set(_PROTECTED)
+    bad |= set(spec.get("drop", [])) & set(_PROTECTED)
+    if bad:
+        raise ValueError(
+            f"stream_map may not redefine or drop WAL/key columns: "
+            f"{sorted(bad)}"
+        )
+    if not isinstance(spec.get("columns", {}), dict):
+        raise ValueError("stream_map.columns must be a mapping name -> SQL")
+    return spec
+
+
+def apply_stream_map(df: DataFrame, spec: dict) -> DataFrame:
+    """Apply a validated stream-map at the SOURCE (extraction-time, the
+    Singer semantics: filtered records never reach the sink; computed
+    columns become part of the discovered schema and therefore of the
+    evolved table schema). Expressions are ``F.expr`` Spark SQL —
+    config-driven yet JVM-codegen'd, never per-row Python."""
+    if spec.get("filter"):
+        df = df.filter(F.expr(spec["filter"]))
+    for name in sorted(spec.get("columns", {})):
+        df = df.withColumn(name, F.expr(spec["columns"][name]))
+    for c in spec.get("drop", []):
+        df = df.drop(c)
+    return df
+
+
+def _mapped_schema(spark: SparkSession, schema: T.StructType,
+                   spec: dict) -> T.StructType:
+    """The post-map schema, derived without reading data."""
+    return apply_stream_map(
+        spark.createDataFrame([], schema), spec
+    ).schema
+
+
 def normalize_events(df: DataFrame) -> DataFrame:
     """Vectorized text normalization at ingest; all other columns pass
     through untouched. No per-row Python anywhere (input_hint)."""
@@ -65,6 +113,7 @@ def replay(
     merge_mode: str = "cow",
     dedup: str = "window",
     max_payload_bytes: int | None = None,
+    stream_map: dict | None = None,
 ) -> tuple[MicroLakeTable, list[MergeResult]]:
     """Batch-replay the whole WAL into a fresh-or-existing table.
 
@@ -73,10 +122,15 @@ def replay(
     exercise multi-epoch MERGE/fence paths deterministically.
     """
     schema = discover_schema(spark, *log_dirs)
+    if stream_map is not None:
+        validate_stream_map(stream_map)
+        schema = _mapped_schema(spark, schema, stream_map)
     table = MicroLakeTable.create_or_load(
         spark, table_path, table_schema_for(schema), n_buckets=n_buckets
     )
     log = spark.read.option("mergeSchema", "true").parquet(*log_dirs)
+    if stream_map is not None:
+        log = apply_stream_map(log, stream_map)
 
     kw = dict(winner_transform=normalize_events, merge_mode=merge_mode,
               dedup=dedup, max_payload_bytes=max_payload_bytes)
@@ -116,6 +170,7 @@ def stream(
     daily_rollup_path: str | None = None,
     compact_every: int | None = None,
     max_payload_bytes: int | None = None,
+    stream_map: dict | None = None,
 ):
     """Tail the WAL with a file streaming source and MERGE each
     microbatch. ``foreachBatch(batchId)`` is the commit epoch; Spark
@@ -135,8 +190,13 @@ def stream(
     tests (FIXTURES.md §4).
     """
     schema = discover_schema(spark, *log_dirs)
+    table_schema = schema
+    if stream_map is not None:
+        validate_stream_map(stream_map)
+        table_schema = _mapped_schema(spark, schema, stream_map)
     table = MicroLakeTable.create_or_load(
-        spark, table_path, table_schema_for(schema), n_buckets=n_buckets
+        spark, table_path, table_schema_for(table_schema),
+        n_buckets=n_buckets,
     )
 
     reader = spark.readStream.schema(schema)
@@ -152,6 +212,8 @@ def stream(
                 part = part.withColumn(fld.name, F.lit(None).cast(fld.dataType))
         part = part.select(*[f.name for f in schema.fields])
         src = part if src is None else src.unionByName(part)
+    if stream_map is not None:
+        src = apply_stream_map(src, stream_map)
 
     maintainer = None
     if rollup_path is not None:
