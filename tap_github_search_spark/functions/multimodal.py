@@ -64,18 +64,78 @@ def to_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, codec: str) -> object:
-    """STUB — real decode needs PIL/libjpeg, absent in this container.
+def decode_image(payload: bytes, codec: str, fake: bool = False):
+    """Real decode needs PIL/libjpeg, absent in this container — STUB
+    unless ``fake=True``, which returns a deterministic pseudo-image
+    (width, height, flat pixel bytes derived from the payload) so the
+    decode→resize→feature pipeline SHAPE is executable and testable.
     The Spark plumbing around it (byte_features below) is real."""
+    if fake:
+        w = max(1, len(payload) % 16)
+        h = max(1, (len(payload) // 16) % 16)
+        px = bytes((payload * ((w * h) // max(1, len(payload)) + 1))[: w * h])
+        return (w, h, px)
     raise NotImplementedError(
         "image decode requires an image codec library (PIL); "
         "not available in this environment"
     )
 
 
+def resize_image(img, new_w: int, new_h: int):
+    """Nearest-neighbor resize over the deterministic fake image — the
+    stand-in for a real thumbnailing step (PIL.Image.resize); shape and
+    batch semantics identical to what a codec-backed version would do."""
+    w, h, px = img
+    out = bytearray()
+    for y in range(new_h):
+        sy = min(h - 1, (y * h) // new_h)
+        for x in range(new_w):
+            sx = min(w - 1, (x * w) // new_w)
+            out.append(px[sy * w + sx])
+    return (new_w, new_h, bytes(out))
+
+
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
     """STUB — video frame sampling requires ffmpeg/pyav."""
     raise NotImplementedError("frame sampling requires a video codec library")
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_sha", T.StringType()),
+    ]
+)
+
+
+def thumbnail_features(media: DataFrame, w: int = 4, h: int = 4) -> DataFrame:
+    """The decode→resize pipeline over Arrow batches using the
+    deterministic fake decoder: proves the full multimodal dataflow
+    (binary column → per-batch decode → resize → feature) without any
+    codec in the container. Swap ``fake=True`` for a PIL-backed decode
+    on a real cluster — nothing else changes."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(
+                lambda b: resize_image(
+                    decode_image(bytes(b), "fake", fake=True), w, h
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_w": thumbs.map(lambda t: t[0]).astype("int32"),
+                    "thumb_h": thumbs.map(lambda t: t[1]).astype("int32"),
+                    "thumb_sha": thumbs.map(
+                        lambda t: hashlib.sha256(t[2]).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=THUMB_SCHEMA)
 
 
 def byte_features(media: DataFrame) -> DataFrame:

@@ -28,37 +28,9 @@ from ..operators.dedup import (
     lww_winners_salted,
 )
 from ..sources.generator import changelog_dir, ensure_changelog, sf_from_dir
+from .common import _NORM, _ORACLE_LOG, _WINNERS_CTE, _log, _t  # noqa: F401
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# oracle-side path of the committed correctness-scale changelog
-_ORACLE_LOG = "/root/repo/data/cdc/sf0.01/changelog/*.parquet"
-
-# DuckDB equivalent of functions.normalize.normalize_text
-_NORM = "nfc_normalize(replace(text, chr(0), ''))"
-
-# DuckDB CTE: LWW winners over the changelog (deletes still present)
-_WINNERS_CTE = f"""
-WITH winners AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
-    FROM read_parquet('{_ORACLE_LOG}')
-  ) WHERE rn = 1
-)
-"""
-
-
-def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's changelog at the scale matching the driver's sf_dir
-    (generated once, deterministically, if absent)."""
-    sf = sf_from_dir(sf_dir)
-    ensure_changelog(spark, sf)
-    return spark.read.parquet(changelog_dir(sf))
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # =====================================================================

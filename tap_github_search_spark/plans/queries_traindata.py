@@ -40,10 +40,7 @@ from ..functions.textops import (
     word_shingles,
 )
 from ..operators.dedup import final_state
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from .common import _WINNERS_CTE, _log, _t  # noqa: F401
 
 
 # DuckDB CTE: distinct lowercase word-3-gram shingles per doc
@@ -726,8 +723,6 @@ def q_conv_transcript_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach for when per-group logic outgrows SQL expressions."""
     import pandas as pd
 
-    from .queries import _log
-
     fs = final_state(_log(spark, sf_dir)).select(
         "conv_id", "turn_idx", "role", normalized("text").alias("text")
     )
@@ -750,8 +745,6 @@ def q_conv_transcript_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conv_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() window over the replayed final state: turn-index gaps left
     by deletes inside each conversation (transcript-integrity audit)."""
-    from .queries import _log  # shared changelog loader
-
     fs = final_state(_log(spark, sf_dir))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
@@ -767,8 +760,6 @@ def q_conv_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_conv_turn_gaps() -> str:
-    from .queries import _WINNERS_CTE
-
     return f"""
 {_WINNERS_CTE}
 SELECT conv_id, turn_idx, prev_turn, turn_idx - prev_turn AS gap FROM (

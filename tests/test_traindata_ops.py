@@ -153,3 +153,33 @@ def test_ann_bits_scale_with_corpus(spark):
     assert bits_for(64) == 4         # clamped at the floor
     assert bits_for(100_000) == 15   # grows with N
     assert bits_for(4 * 2**24) == 24  # clamped at the ceiling
+
+
+def test_thumbnail_pipeline_with_fake_decoder(spark):
+    """Multimodal decode→resize dataflow over Arrow batches: real
+    mapInPandas plumbing, deterministic fake decoder (no codecs in the
+    container — swapping in PIL changes only decode_image's body)."""
+    from tap_github_search_spark.functions.multimodal import (
+        decode_image,
+        resize_image,
+        thumbnail_features,
+        to_media_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello multimodal world"), (2, "x" * 100)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in thumbnail_features(to_media_table(docs)).collect()}
+    assert out[1]["thumb_w"] == 4 and out[1]["thumb_h"] == 4
+    # deterministic: driver-side recompute of doc 1's thumbnail agrees
+    import hashlib
+    img = decode_image(b"hello multimodal world", "fake", fake=True)
+    t = resize_image(img, 4, 4)
+    assert out[1]["thumb_sha"] == hashlib.sha256(t[2]).hexdigest()
+    assert out[1]["thumb_sha"] != out[2]["thumb_sha"]
+    # the real-codec path stays a clearly-marked stub
+    import pytest
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8", "jpeg")
