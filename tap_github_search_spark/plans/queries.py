@@ -705,6 +705,83 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution per language: exact interpolated
+    percentiles of token counts (the stat a training-data pipeline
+    gates sequence-length budgets on). Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear-interpolation semantics; at corpus
+    scale swap in ``percentile_approx`` (t-digest sketch, one pass,
+    mergeable) — the exact form stays as its oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr(
+                "percentile(cast(size(split(trim(text), '\\\\s+')) as double), 0.5)"
+            ), 2).alias("p50_tokens"),
+            F.round(F.expr(
+                "percentile(cast(size(split(trim(text), '\\\\s+')) as double), 0.9)"
+            ), 2).alias("p90_tokens"),
+            F.round(F.max(n_tok), 2).alias("max_tokens"),
+        )
+    )
+
+
+SQL_DOCS_LENGTH_QUANTILES = r"""
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(
+         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE, 0.5), 2)
+         AS p50_tokens,
+       round(quantile_cont(
+         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE, 0.9), 2)
+         AS p90_tokens,
+       round(max(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE), 2)
+         AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_events_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 moving-window coverage: per user ordered by time, the
+    running event count and 3-row moving value average — the
+    session-health trend shape (window frames, not aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_3 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w_all).alias("running_n"),
+        # floor(x*100 + 0.5)/100 instead of round(): Spark HALF_UP and
+        # DuckDB's rounding disagree on .005 boundaries, which a 3-value
+        # average hits routinely; the explicit form is engine-identical
+        # (values are nonnegative)
+        (F.floor(F.avg("value").over(w_3) * 100 + F.lit(0.5)) / 100)
+        .alias("moving_avg_3"),
+    )
+
+
+SQL_EVENTS_RUNNING_STATS = """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS running_n,
+       floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             * 100 + 0.5) / 100 AS moving_avg_3
+FROM events
+"""
+
+
 def q_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONPath record extraction (P13/U1): pull typed fields out of the
     JSON payload column — from_json instead of per-row json.loads."""
@@ -1071,6 +1148,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_hypertable_rollup": (q_events_hypertable_rollup,
                                  SQL_EVENTS_HYPERTABLE),
+    "docs_length_quantiles": (q_docs_length_quantiles,
+                              SQL_DOCS_LENGTH_QUANTILES),
+    "events_running_stats": (q_events_running_stats,
+                             SQL_EVENTS_RUNNING_STATS),
     "topk_events": (q_topk_events, SQL_TOPK),
     "extract_source_key": (q_extract_source_key, SQL_EXTRACT_SOURCE),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
