@@ -606,7 +606,9 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id", "user_id",
             F.col("_ref").alias("ref_event_id"),
-            F.round("_val", 2).alias("ref_value"),
+            # engine-identical rounding (values nonnegative): Spark
+            # HALF_UP vs DuckDB banker's diverge on .005 boundaries
+            (F.floor(F.col("_val") * 100 + F.lit(0.5)) / 100).alias("ref_value"),
         )
     )
 
@@ -623,7 +625,7 @@ probe AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
 )
 SELECT p.event_id, p.user_id, r.event_id AS ref_event_id,
-       round(r.value, 2) AS ref_value
+       floor(r.value * 100 + 0.5) / 100 AS ref_value
 FROM probe p ASOF LEFT JOIN ref r
   ON p.user_id = r.user_id AND r.ts <= p.ts
 """
@@ -690,7 +692,10 @@ def q_events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("granule", bucket.alias("bucket_start"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # engine-identical rounding (nonnegative sums) — see
+            # events_running_stats for the HALF_UP/banker's divergence
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100)
+            .alias("total_value"),
         )
     )
 
@@ -699,7 +704,8 @@ SQL_EVENTS_HYPERTABLE = """
 SELECT g.granule,
        CASE WHEN g.granule = 'hour' THEN date_trunc('hour', ts)
             ELSE date_trunc('day', ts) END AS bucket_start,
-       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       event_type, count(*) AS n,
+       floor(sum(value) * 100 + 0.5) / 100 AS total_value
 FROM events, (SELECT unnest(['hour', 'day']) AS granule) g
 GROUP BY 1, 2, 3
 """
@@ -1086,7 +1092,7 @@ def q_rename_reserved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_RENAME_RESERVED = f"""
-SELECT project, sum("+1") AS total_plus_one, count(*) AS n_items
+SELECT project, CAST(sum("+1") AS BIGINT) AS total_plus_one, count(*) AS n_items
 FROM read_parquet('{_ORACLE_PROJECTS}')
 GROUP BY project
 """

@@ -35,7 +35,9 @@ def discover_schema(spark: SparkSession, *log_dirs: str) -> T.StructType:
 
 
 #: columns the stream-map must not redefine, drop, or depend on removing
-_PROTECTED = ("op", "seq", "conv_id", "turn_idx")
+#: — merge keys plus the FULL LWW order (ts, seq): redefining ts would
+#: silently change winner selection table-wide; dropping it breaks merge
+_PROTECTED = ("op", "ts", "seq", "conv_id", "turn_idx")
 
 
 def validate_stream_map(spec: dict) -> dict:

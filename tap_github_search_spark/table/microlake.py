@@ -106,7 +106,24 @@ class MicroLakeTable:
             "metrics": [],
         }
         table = cls(spark, path, manifest)
-        table._commit_manifest(manifest)
+        try:
+            table._commit_manifest(manifest)
+        except ConcurrentCommitError:
+            # manifest-00000000.json already exists: either a racing
+            # creator won (identical deterministic content for a given
+            # schema) or a prior create() crashed between the manifest
+            # write and the _current pointer swap. Self-heal: repair the
+            # pointer only if it's missing (never roll back a table that
+            # has advanced past v0), then serve the published manifest.
+            cur = os.path.join(path, "_current")
+            if not os.path.exists(cur):
+                ptr_tmp = os.path.join(path, "._current.tmp")
+                with open(ptr_tmp, "w") as f:
+                    f.write("manifest-00000000.json")
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(ptr_tmp, cur)
+            return cls.load(spark, path)
         return table
 
     @classmethod
@@ -557,18 +574,30 @@ class MicroLakeTable:
         df = self.raw_df()
         if self.manifest.get("read_dedup"):
             df = self._read_lww(self._cluster(df))
-        self.manifest = {**self.manifest, "n_buckets": int(new_n_buckets)}
-        out = df.withColumn("_bucket", self._bucket_expr(self.keys[0]))
+        # compute the new-spec bucket from a LOCAL count — self.manifest
+        # only swaps to the new spec after the CAS commit succeeds, so a
+        # losing racer keeps a handle consistent with the published spec
+        new_n = int(new_n_buckets)
+        new_bucket = F.pmod(F.hash(F.col(self.keys[0])), F.lit(new_n)).cast("int")
+        out = df.withColumn("_bucket", new_bucket)
         epoch = self.last_committed_epoch
         dirname = f"epoch={epoch}.rebucket-{uuid.uuid4().hex[:8]}"
         (
-            out.repartition(new_n_buckets, self.keys[0])
+            out.repartition(new_n, self.keys[0])
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(os.path.join(self.path, "data", dirname))
         )
         new_files = self._list_epoch_files(dirname)
-        self._commit(epoch, new_files, [], metrics=None, read_dedup=False)
+        self._commit(
+            epoch, new_files, [], metrics=None, read_dedup=False,
+            extra={
+                "n_buckets": new_n,
+                # spec-evolution fence: change_feed intervals crossing
+                # this version must not trust pre-rebucket bucket ids
+                "last_rebucket_version": self.manifest["version"] + 1,
+            },
+        )
         return len(new_files)
 
     def vacuum(self, keep_versions: int = 1,
@@ -678,8 +707,11 @@ class MicroLakeTable:
         metrics: dict | None,
         evolved_schema: T.StructType | None = None,
         read_dedup: bool | None = None,
+        extra: dict | None = None,
     ) -> None:
         m = dict(self.manifest)
+        if extra:
+            m.update(extra)
         m["version"] = self.manifest["version"] + 1
         m["last_committed_epoch"] = epoch
         m["files"] = files
@@ -859,6 +891,17 @@ class MicroLakeTable:
         payload = [f.name for f in new.schema.fields]
         non_key = [c for c in payload if c not in self.keys]
         keys = list(self.keys)
+
+        # Partition-spec evolution fence: lineage bucket ids are only
+        # addressable within ONE bucket spec. If a rebucket() lies inside
+        # the interval, ids recorded under the new spec don't select the
+        # same key population in the old snapshot (keys relocate), so the
+        # incremental path would emit phantom inserts/deletes — fall back
+        # to the full-snapshot diff, which is spec-independent.
+        if not full_scan:
+            rebucket_v = int(new.manifest.get("last_rebucket_version", -1))
+            if old.n_buckets != new.n_buckets or rebucket_v > from_version:
+                full_scan = True
 
         if not full_scan:
             lo = old.last_committed_epoch

@@ -368,3 +368,124 @@ def test_change_feed_random_interval_property(spark, tmp_dir):
             for r in table.change_feed(v1, v2, full_scan=True).collect()
         }
         assert inc == full == expect, (v1, v2)
+
+
+def test_change_feed_across_rebucket_falls_back_to_full_scan(
+    spark, tmp_dir, monkeypatch
+):
+    """ADVICE r2 #1: lineage bucket ids recorded under one bucket spec
+    must not be used to address a snapshot written under another — a
+    rebucket() inside the interval forces the (spec-independent)
+    full-snapshot diff. Without the guard, keys that relocate buckets
+    surface as phantom insert/delete pairs."""
+    from tap_github_search_spark.sources.generator import write_changelog
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    write_changelog(spark, f"{tmp_dir}/log", 200, n_files=2)
+    table, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=8)
+    v1 = table.manifest["version"]
+
+    e1 = _events(spark, [(20_000_000, "U", "conv_00000001", 0, 2 * 10**9, "u1")])
+    table.merge(e1, epoch=table.last_committed_epoch + 1)
+    table.rebucket(16)
+    e2 = _events(spark, [(20_000_001, "I", "conv_rb_new", 0, 2 * 10**9, "new"),
+                         (20_000_002, "D", "conv_00000002", 0, 2 * 10**9)])
+    table.merge(e2, epoch=table.last_committed_epoch + 1)
+
+    # the incremental bucket-subset path must NOT be taken
+    def _boom(self, buckets):
+        raise AssertionError("bucket-subset path used across a rebucket")
+
+    monkeypatch.setattr(MicroLakeTable, "_snapshot_buckets", _boom)
+    inc = table.change_feed(v1)
+    full = table.change_feed(v1, full_scan=True)
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["_change_type"])
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    # no phantom rows for keys that merely relocated buckets during the
+    # rebucket — only merge-touched keys may appear
+    convs = {r["conv_id"] for r in inc.collect()}
+    assert {"conv_00000001", "conv_rb_new"} <= convs
+    assert convs <= {"conv_00000001", "conv_rb_new", "conv_00000002"}
+
+
+def test_change_feed_after_rebucket_stays_incremental(spark, tmp_dir):
+    """The guard must not over-trigger: an interval that STARTS at or
+    after the rebucket commit uses the incremental bucket-subset path
+    (same spec on both sides)."""
+    from tap_github_search_spark.sources.generator import write_changelog
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    write_changelog(spark, f"{tmp_dir}/log", 200, n_files=2)
+    table, _ = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=8)
+    table.rebucket(16)
+    v2 = table.manifest["version"]
+    e = _events(spark, [(30_000_000, "U", "conv_00000003", 0, 2 * 10**9, "post")])
+    table.merge(e, epoch=table.last_committed_epoch + 1)
+
+    calls = []
+    orig = MicroLakeTable._snapshot_buckets
+
+    def _spy(self, buckets):
+        calls.append(set(buckets))
+        return orig(self, buckets)
+
+    import unittest.mock as mock
+    with mock.patch.object(MicroLakeTable, "_snapshot_buckets", _spy):
+        inc = table.change_feed(v2)
+        rows = inc.collect()
+    assert calls and all(len(c) < 16 for c in calls)
+    assert {r["conv_id"] for r in rows} == {"conv_00000003"}
+
+
+def test_create_self_heals_after_crash_before_pointer(spark, tmp_dir):
+    """ADVICE r2 #2: a crash between manifest-00000000.json and the
+    _current pointer must not brick the table — create_or_load repairs
+    the pointer instead of raising ConcurrentCommitError forever."""
+    import os
+
+    from tap_github_search_spark.schema import CHANGE_EVENT_SCHEMA
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    path = f"{tmp_dir}/t"
+    MicroLakeTable.create(spark, path, CHANGE_EVENT_SCHEMA, n_buckets=4)
+    os.remove(os.path.join(path, "_current"))  # simulate the crash
+
+    healed = MicroLakeTable.create_or_load(
+        spark, path, CHANGE_EVENT_SCHEMA, n_buckets=4
+    )
+    assert healed.manifest["version"] == 0
+    assert os.path.exists(os.path.join(path, "_current"))
+    # and a table that has ADVANCED past v0 is never rolled back
+    e = _events(spark, [(1, "I", "c1", 0, 10)])
+    healed.merge(e, epoch=0)
+    again = MicroLakeTable.create_or_load(
+        spark, path, CHANGE_EVENT_SCHEMA, n_buckets=4
+    )
+    assert again.manifest["version"] == healed.manifest["version"]
+
+
+def test_rebucket_loser_keeps_published_spec(spark, tmp_dir):
+    """ADVICE r2 #4: a rebucket that loses the CAS race must leave its
+    handle's in-memory spec consistent with the published manifest —
+    a follow-up merge on the loser must not write wrong buckets."""
+    import pytest
+
+    from tap_github_search_spark.table.microlake import (
+        ConcurrentCommitError,
+        MicroLakeTable,
+    )
+
+    e0 = _events(spark, [(1, "I", "c1", 0, 10), (2, "I", "c2", 0, 11)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=4)
+
+    w1 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    w2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    w1.rebucket(8)
+    with pytest.raises(ConcurrentCommitError):
+        w2.rebucket(16)
+    assert w2.manifest["n_buckets"] == 4  # handle matches what it loaded
+    # published table carries the winner's spec + the evolution fence
+    fresh = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert fresh.n_buckets == 8
+    assert fresh.manifest["last_rebucket_version"] == fresh.manifest["version"]

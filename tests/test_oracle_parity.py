@@ -48,6 +48,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def render(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-shaped rendering: every cell stringified AS ITS DTYPE
+    RENDERS, so an int column and a float column holding the same
+    values (DuckDB HUGEINT→float64 vs Spark bigint) DIVERGE — the
+    exact comparison the round driver hashes. Must run on the canon()
+    output (floats already rounded)."""
+
+    def cell(v):
+        if v is None or v is pd.NA or (isinstance(v, float) and math.isnan(v)):
+            return "∅"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, float) or type(v).__name__ in ("float32", "float64"):
+            return repr(float(v))  # 404.0 stays "404.0" — int/float divergence visible
+        return str(v)
+
+    return df.apply(lambda col: col.map(cell))
+
+
 @pytest.mark.parametrize("name", list(REGISTRY))
 def test_query_matches_oracle(spark, ddb, name):
     fn, sql = REGISTRY[name]
@@ -65,6 +84,19 @@ def test_query_matches_oracle(spark, ddb, name):
     )
     pd.testing.assert_frame_equal(ours, oracle, check_dtype=False,
                                   check_exact=False, rtol=1e-6, atol=1e-9)
+    # Driver-identical rendered compare: catches dtype-rendering
+    # divergences (e.g. DuckDB HUGEINT→404.0 vs Spark bigint→404) that
+    # the tolerance compare above waves through but the round driver's
+    # value-hash rejects.
+    r_ours, r_oracle = render(ours), render(oracle)
+    if not r_ours.equals(r_oracle):
+        diff = [
+            (c, a, b)
+            for c in r_ours.columns
+            for a, b in zip(r_ours[c], r_oracle[c])
+            if a != b
+        ][:5]
+        raise AssertionError(f"{name}: rendered-value divergence {diff}")
 
 
 def test_registry_nonempty():

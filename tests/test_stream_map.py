@@ -81,6 +81,13 @@ def test_stream_map_validation(spark):
         validate_stream_map({"drop": ["seq"]})
     with pytest.raises(ValueError, match="WAL/key columns"):
         validate_stream_map({"columns": {"conv_id": "upper(conv_id)"}})
+    # ADVICE r2 #3: ts is the primary LWW ordering column — dropping it
+    # breaks every merge at analysis time; redefining it silently changes
+    # winner selection table-wide. Both must be rejected.
+    with pytest.raises(ValueError, match="WAL/key columns"):
+        validate_stream_map({"drop": ["ts"]})
+    with pytest.raises(ValueError, match="WAL/key columns"):
+        validate_stream_map({"columns": {"ts": "current_timestamp()"}})
 
 
 def test_stream_map_is_codegen_not_python(spark):
