@@ -103,11 +103,30 @@ def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
 THUMB_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
         T.StructField("thumb_w", T.IntegerType()),
         T.StructField("thumb_h", T.IntegerType()),
         T.StructField("thumb_sha", T.StringType()),
+        T.StructField("thumb_checksum", T.LongType()),
     ]
 )
+
+#: polynomial checksum constants — shared with textops.rolling_hash so
+#: the DuckDB oracle mirrors the fold with list_reduce
+_CK_MULT = 131
+_CK_MOD = 1_000_000_007
+
+
+def pixel_checksum(px: bytes) -> int:
+    """Order-sensitive polynomial fold over pixel bytes:
+    acc = (acc*131 + byte) mod 1e9+7 — the oracle-expressible stand-in
+    for a perceptual hash (DuckDB recomputes it with ``list_reduce``
+    over byte values)."""
+    acc = 0
+    for b in px:
+        acc = (acc * _CK_MULT + b) % _CK_MOD
+    return acc
 
 
 def thumbnail_features(media: DataFrame, w: int = 4, h: int = 4) -> DataFrame:
@@ -115,23 +134,29 @@ def thumbnail_features(media: DataFrame, w: int = 4, h: int = 4) -> DataFrame:
     deterministic fake decoder: proves the full multimodal dataflow
     (binary column → per-batch decode → resize → feature) without any
     codec in the container. Swap ``fake=True`` for a PIL-backed decode
-    on a real cluster — nothing else changes."""
+    on a real cluster — nothing else changes. ``thumb_checksum`` is the
+    driver-oracle-checkable feature (polynomial over resized pixels);
+    ``thumb_sha`` stays for content-addressing."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = pdf["payload"].map(
-                lambda b: resize_image(
-                    decode_image(bytes(b), "fake", fake=True), w, h
-                )
+            decoded = pdf["payload"].map(
+                lambda b: decode_image(bytes(b), "fake", fake=True)
             )
+            thumbs = decoded.map(lambda img: resize_image(img, w, h))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "src_w": decoded.map(lambda i: i[0]).astype("int32"),
+                    "src_h": decoded.map(lambda i: i[1]).astype("int32"),
                     "thumb_w": thumbs.map(lambda t: t[0]).astype("int32"),
                     "thumb_h": thumbs.map(lambda t: t[1]).astype("int32"),
                     "thumb_sha": thumbs.map(
                         lambda t: hashlib.sha256(t[2]).hexdigest()
                     ),
+                    "thumb_checksum": thumbs.map(
+                        lambda t: pixel_checksum(t[2])
+                    ).astype("int64"),
                 }
             )
 

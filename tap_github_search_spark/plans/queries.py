@@ -980,6 +980,53 @@ def _projects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(projects_dir(sf))
 
 
+def q_text_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 analog (closes SURVEY §2's last two source rows): counter
+    extraction from semi-structured scraped-page text — labeled counts
+    with thousands separators and '+' approximations, with the
+    dependents/contributors sections sometimes absent (→ 0). Mirrors
+    scrape_metrics/parse_counter
+    (/root/reference/tap_github/scraping.py:98-171): strip ','/'+',
+    int-cast, default 0 when the section is missing. Pure codegen'd
+    regexp_extract — the Spark twin of the reference's BeautifulSoup
+    walk, over a text column a 100 TB crawl pipeline would hold."""
+    items = _projects(spark, sf_dir)
+
+    def counter(label: str) -> F.Column:
+        raw = F.regexp_extract(
+            F.col("page_text"), f"{label} ([0-9][0-9,]*\\+?)", 1
+        )
+        return F.when(raw == "", F.lit(0).cast("long")).otherwise(
+            F.regexp_replace(raw, "[,+]", "").cast("long")
+        )
+
+    return items.select(
+        "item_id",
+        counter("Issues").alias("open_issues"),
+        counter("Pull requests").alias("open_prs"),
+        counter("Used by").alias("dependents"),
+        counter("Contributors").alias("contributors"),
+    )
+
+
+def _sql_counter(label: str) -> str:
+    return (
+        "CAST(coalesce(nullif(regexp_replace(regexp_extract(page_text, "
+        f"'{label} ([0-9][0-9,]*\\+?)', 1), '[,+]', '', 'g'), ''), '0') "
+        "AS BIGINT)"
+    )
+
+
+SQL_TEXT_EXTRACT_METRICS = f"""
+SELECT item_id,
+       {_sql_counter('Issues')} AS open_issues,
+       {_sql_counter('Pull requests')} AS open_prs,
+       {_sql_counter('Used by')} AS dependents,
+       {_sql_counter('Contributors')} AS contributors
+FROM read_parquet('{_ORACLE_PROJECTS}')
+"""
+
+
 def q_pivot_field_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True U6 dynamic field-value pivot: the alias→value array becomes
     a map (map_from_entries) and known fields are promoted to typed
@@ -1169,6 +1216,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                                 SQL_NESTED_TWO_LEVEL),
     "nested_count_hoist": (q_nested_count_hoist, SQL_NESTED_COUNT_HOIST),
     "rename_reserved": (q_rename_reserved, SQL_RENAME_RESERVED),
+    "text_extract_metrics": (q_text_extract_metrics,
+                             SQL_TEXT_EXTRACT_METRICS),
     "docs_oversize_guard": (q_docs_oversize_guard, SQL_DOCS_OVERSIZE_GUARD),
 }
 

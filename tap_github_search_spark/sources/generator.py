@@ -293,6 +293,33 @@ def nested_items_df(spark: SparkSession, n_items: int,
         )
     )
 
+    # semi-structured scraped-page text (S8/S9 analog): labeled counters
+    # with thousands separators and '+'-approximations, some sections
+    # randomly absent — the exact shapes scrape_metrics/parse_counter
+    # handle (/root/reference/tap_github/scraping.py:98-171)
+    issues = _pm("iss", 5000, i, seed=seed)
+    prs = _pm("prs", 400, i, seed=seed)
+    deps = _pm("deps", 90000, i, seed=seed)
+    contrib = _pm("ctr", 800, i, seed=seed)
+    approx = F.when(_pm("apx", 5, i, seed=seed) == 0, F.lit("+")).otherwise(
+        F.lit("")
+    )
+    page = F.concat(
+        F.format_string("Repo item %d\nIssues %,d\nPull requests %,d\n",
+                        i.cast("int"), issues.cast("int"), prs.cast("int")),
+        # dependents section present ~70% of the time
+        F.when(
+            _pm("hasdep", 10, i, seed=seed) < 7,
+            F.concat(F.format_string("   Used by %,d", deps.cast("int")),
+                     approx, F.lit("\n")),
+        ).otherwise(F.lit("")),
+        # contributors section present ~80% of the time
+        F.when(
+            _pm("hasctr", 10, i, seed=seed) < 8,
+            F.format_string("   Contributors %,d\n", contrib.cast("int")),
+        ).otherwise(F.lit("")),
+    )
+
     return df.select(
         "item_id",
         F.format_string("proj_%03d", _pm("proj", 20, i, seed=seed).cast("int")
@@ -300,6 +327,7 @@ def nested_items_df(spark: SparkSession, n_items: int,
         fv.alias("field_values"),
         reviews.alias("reviews"),
         _pm("plus1", 50, i, seed=seed).cast("int").alias("+1"),
+        page.alias("page_text"),
     )
 
 

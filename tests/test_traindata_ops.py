@@ -175,10 +175,15 @@ def test_thumbnail_pipeline_with_fake_decoder(spark):
     assert out[1]["thumb_w"] == 4 and out[1]["thumb_h"] == 4
     # deterministic: driver-side recompute of doc 1's thumbnail agrees
     import hashlib
+
+    from tap_github_search_spark.functions.multimodal import pixel_checksum
     img = decode_image(b"hello multimodal world", "fake", fake=True)
+    assert (out[1]["src_w"], out[1]["src_h"]) == (img[0], img[1])
     t = resize_image(img, 4, 4)
     assert out[1]["thumb_sha"] == hashlib.sha256(t[2]).hexdigest()
     assert out[1]["thumb_sha"] != out[2]["thumb_sha"]
+    assert out[1]["thumb_checksum"] == pixel_checksum(t[2])
+    assert out[1]["thumb_checksum"] != out[2]["thumb_checksum"]
     # the real-codec path stays a clearly-marked stub
     import pytest
     with pytest.raises(NotImplementedError):
