@@ -1,40 +1,47 @@
-"""Incrementally-maintained derived (child + grandchild) tables.
+"""Incrementally-maintained derived-table CHAINS of declared depth.
 
 Reference analog: parent→child stream fan-out — every parent record
 triggers child-stream extraction stamped with the parent key
 (/root/reference/tap_github/repository_streams.py:195-209, SDK
 `_sync_children`); reference chains go 3-4 deep (repositories →
 pull_requests → pull_request_commits → diffs,
-repository_streams.py:1412-1427). In the CDC engine the same capability
-is an **incrementally-maintained materialized view chain**:
+repository_streams.py:1412-1427; orgs → teams → team_members →
+team_roles, organization_streams.py:130-244). In the CDC engine the
+same capability is an **incrementally-maintained materialized view
+chain** of declared ``LevelSpec``s:
 
-  transcripts ──(affected conv_ids)──▶ conv rollup
-              ──(affected days)──────▶ daily activity rollup
+  transcripts ──(affected conv_ids)──▶ conv rollup      (level 1)
+              ──(affected days)──────▶ daily rollup      (level 2)
+              ──(affected weeks)─────▶ weekly rollup     (level 3)
 
-After each MERGE epoch only the conversations the batch touched are
-recomputed into the child, and only the days those conversations span
-(before OR after the change — the old day set comes from the child's
-previous snapshot version, i.e. time travel) are recomputed into the
-grandchild. Work per epoch is O(affected keys), not O(table), at every
-level.
+After each MERGE epoch only the keys the batch touched are recomputed
+at each level. A level's affected keys are its ``key_expr`` evaluated
+over the PARENT level's rows for the parent's affected keys — in both
+the parent's current snapshot and its last pre-epoch snapshot (time
+travel), because a key that moved (e.g. a conversation whose first_ts
+changed day) dirties its old AND new group. Work per epoch is
+O(affected keys), not O(table), at every level.
 
 Each level is itself a MicroLakeTable (same manifest/fence machinery);
 synthetic WAL columns are derived: ``seq`` = commit epoch (monotone),
 ``op`` = 'D' when the key lost all live members. Each level's epoch
-fence is independent, so a crash landing between the level-1 and
-level-2 commits replays the batch, no-ops the committed levels, and
-catches up the rest (crash-tested in tests/test_derived.py).
+fence is independent, so a crash landing between ANY two level commits
+replays the batch, no-ops the committed levels, and catches up the
+rest (crash-tested between levels 1-2 and 2-3 in
+tests/test_derived.py).
 
-Constraint: the grandchild's old-day lookup loads the child's previous
-snapshot version, so ``vacuum(keep_versions=1)`` on the child must not
-run between a child commit and its grandchild catch-up.
+Constraint: a level's old-key lookup loads the parent's previous
+snapshot version, so ``vacuum(keep_versions=1)`` on a mid-chain table
+must not run between its commit and its child's catch-up.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -68,23 +75,34 @@ DAILY_SCHEMA = T.StructType(
     ]
 )
 
-def _day_col():
+
+WEEKLY_SCHEMA = T.StructType(
+    [
+        T.StructField("week", T.StringType()),      # yyyy-MM-dd of Monday
+        T.StructField("n_days", T.LongType()),
+        T.StructField("n_convs", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("total_chars", T.LongType()),
+        T.StructField("ts", T.TimestampType()),     # epoch time (monotone)
+    ]
+)
+
+
+def _day_col() -> Column:
     """yyyy-MM-dd of first_ts (built lazily: module imports before any
     SparkSession exists)."""
     return F.date_format("first_ts", "yyyy-MM-dd")
 
 
-def daily_rollup(child_live: DataFrame) -> DataFrame:
-    """The grandchild transform: per-day activity over conv rollups."""
-    return child_live.groupBy(_day_col().alias("day")).agg(
-        F.count("*").alias("n_convs"),
-        F.sum("n_turns").alias("n_turns"),
-        F.sum("total_chars").alias("total_chars"),
+def _week_col() -> Column:
+    """yyyy-MM-dd of the Monday of a daily row's week."""
+    return F.date_format(
+        F.date_trunc("week", F.col("day").cast("timestamp")), "yyyy-MM-dd"
     )
 
 
 def conv_rollup(live_turns: DataFrame) -> DataFrame:
-    """The child-table transform: per-conversation rollup of live turns."""
+    """The level-1 transform: per-conversation rollup of live turns."""
     return live_turns.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
         F.count(F.when(F.col("role") == "tool", 1)).alias("n_tool_turns"),
@@ -95,31 +113,111 @@ def conv_rollup(live_turns: DataFrame) -> DataFrame:
     )
 
 
-class RollupMaintainer:
-    """Keeps a per-conversation rollup table in lockstep with the main
-    transcript table, one epoch at a time."""
+def daily_rollup(child_live: DataFrame) -> DataFrame:
+    """The level-2 transform: per-day activity over conv rollups.
+    (Standalone form — computes its own day key for full recomputes.)"""
+    return child_live.groupBy(_day_col().alias("day")).agg(
+        F.count("*").alias("n_convs"),
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+
+
+def weekly_rollup(daily_live: DataFrame) -> DataFrame:
+    """The level-3 transform: per-week activity over daily rollups.
+    (Standalone form — computes its own week key for full recomputes.)"""
+    return daily_live.groupBy(_week_col().alias("week")).agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_convs").alias("n_convs"),
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+
+
+@dataclass(frozen=True)
+class LevelSpec:
+    """One declared level of a derived chain.
+
+    ``transform`` receives the parent level's live rows RESTRICTED to
+    the affected keys, with this level's ``key`` column already
+    attached, and must return one row per key. ``key_expr`` maps a
+    parent-level row to this level's key; ``None`` only for level 1,
+    whose key IS the parent table's merge key (affected keys then come
+    straight from the epoch's staged files)."""
+
+    name: str
+    schema: T.StructType
+    key: str
+    transform: Callable[[DataFrame], DataFrame]
+    key_expr: Callable[[], Column] | None = None
+    n_buckets: int | None = None
+
+
+def conv_level(n_buckets: int) -> LevelSpec:
+    return LevelSpec(
+        name="conv_rollup", schema=ROLLUP_SCHEMA, key="conv_id",
+        transform=conv_rollup, key_expr=None, n_buckets=n_buckets,
+    )
+
+
+DAILY_LEVEL = LevelSpec(
+    name="daily_rollup", schema=DAILY_SCHEMA, key="day",
+    # the key column is pre-attached by the chain; group by it directly
+    transform=lambda df: df.groupBy("day").agg(
+        F.count("*").alias("n_convs"),
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("total_chars").alias("total_chars"),
+    ),
+    key_expr=_day_col,
+    n_buckets=8,   # few distinct day keys → few buckets
+)
+
+
+WEEKLY_LEVEL = LevelSpec(
+    name="weekly_rollup", schema=WEEKLY_SCHEMA, key="week",
+    transform=lambda df: df.groupBy("week").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_convs").alias("n_convs"),
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("total_chars").alias("total_chars"),
+    ),
+    key_expr=_week_col,
+    n_buckets=4,
+)
+
+
+class DerivedChain:
+    """Maintains a declared list of derived levels in lockstep with the
+    main table, one epoch at a time, each level independently fenced."""
 
     def __init__(self, spark: SparkSession, main: MicroLakeTable,
-                 path: str, n_buckets: int | None = None,
-                 daily_path: str | None = None):
+                 levels: list[tuple[LevelSpec, str]]):
+        if not levels:
+            raise ValueError("a derived chain needs at least one level")
+        if levels[0][0].key_expr is not None:
+            raise ValueError("level 1's key must be the parent merge key "
+                             "(key_expr=None)")
+        if any(spec.key_expr is None for spec, _ in levels[1:]):
+            raise ValueError("levels past the first need a key_expr")
         self.spark = spark
         self.main = main
-        self.child = MicroLakeTable.create_or_load(
-            spark, path, ROLLUP_SCHEMA,
-            n_buckets=n_buckets or main.n_buckets, keys=("conv_id",),
-        )
-        self.grandchild = None
-        if daily_path is not None:
-            # day-keyed level 2: few distinct keys → few buckets
-            self.grandchild = MicroLakeTable.create_or_load(
-                spark, daily_path, DAILY_SCHEMA, n_buckets=8, keys=("day",),
+        self.specs = [spec for spec, _ in levels]
+        self.tables = [
+            MicroLakeTable.create_or_load(
+                spark, path, spec.schema,
+                n_buckets=spec.n_buckets or main.n_buckets,
+                keys=(spec.key,),
             )
+            for spec, path in levels
+        ]
 
-    def affected_conv_ids(self, epoch: int) -> DataFrame:
-        """Distinct conv_ids staged in the given epoch — a skinny scan
-        of that epoch's staged winner files only (stage dirs carry a
-        writer-unique tag: ``epoch=N-<tag>``; rewrite/compact dirs have
-        further suffixes and are excluded)."""
+    # ---------------- affected-key propagation ----------------
+
+    def affected_root_keys(self, epoch: int) -> DataFrame:
+        """Distinct level-1 keys staged in the given epoch — a skinny
+        scan of that epoch's staged winner files only (stage dirs carry
+        a writer-unique tag: ``epoch=N-<tag>``; rewrite/compact dirs
+        have further suffixes and are excluded)."""
         data = os.path.join(self.main.path, "data")
         prefix = f"epoch={epoch}-"
         dirs = [
@@ -127,110 +225,94 @@ class RollupMaintainer:
             for d in os.listdir(data)
             if d.startswith(prefix) and "." not in d[len(prefix):]
         ]
-        return (
-            self.spark.read.parquet(*dirs)
-            .select("conv_id").distinct()
-        )
+        key = self.specs[0].key
+        return self.spark.read.parquet(*dirs).select(key).distinct()
 
-    def apply_epoch(self, epoch: int) -> MergeResult:
-        """Recompute rollups for the epoch's affected conversations and
-        MERGE them into the child table (child epoch == parent epoch,
-        same fence semantics), then cascade to the grandchild. Each
-        level is fenced independently: on replay after a crash, levels
-        already at ``epoch`` no-op and the rest catch up."""
-        affected = self.affected_conv_ids(epoch)
-        res = self._apply_child(epoch, affected)
-        if self.grandchild is not None:
-            self._apply_daily(epoch, affected)
-        return res
-
-    def _apply_child(self, epoch: int, affected: DataFrame) -> MergeResult:
-        # Only affected conversations are read back from the main table;
-        # the broadcast keeps the probe local (affected set ≪ table).
-        live = self.main.snapshot_df().join(
-            F.broadcast(affected), "conv_id", "inner"
-        )
-        rollups = conv_rollup(live)
-        # conversations that lost every live turn → delete child row
-        gone = affected.join(rollups.select("conv_id"), "conv_id",
-                             "left_anti")
-        epoch_ts = F.timestamp_seconds(F.lit(epoch))
-        payload = [f.name for f in ROLLUP_SCHEMA.fields]
-        events = rollups.withColumn("ts", epoch_ts).select(
-            F.lit("U").alias("op"),
-            F.lit(epoch).cast("long").alias("seq"),
-            *payload,
-        ).unionByName(
-            gone.select(
-                F.lit("D").alias("op"),
-                F.lit(epoch).cast("long").alias("seq"),
-                "conv_id",
-                *[
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in ROLLUP_SCHEMA.fields
-                    if f.name not in ("conv_id", "ts")
-                ],
-                epoch_ts.alias("ts"),
-            ),
-        )
-        return self.child.merge(events, epoch=epoch)
-
-    def _affected_days(self, epoch: int, affected: DataFrame) -> DataFrame:
-        """Days whose aggregates the epoch may change: the affected
-        conversations' days in the CURRENT child snapshot plus their
-        days in the last child version committed BEFORE this epoch
-        (time travel) — a conversation whose first_ts moved contributes
-        both its old and new day."""
-        cur = (
-            self.child.snapshot_df()
-            .join(F.broadcast(affected), "conv_id")
-            .select(_day_col().alias("day"))
-        )
-        # newest child version committed before this epoch: walk versions
-        # downward from the current manifest (1-2 loads in steady state)
-        # instead of history(), which parses EVERY manifest ever written
-        # — O(versions) driver work per epoch that compounds to
-        # O(epochs²) over a long stream.
-        prev = None
-        v = self.child.manifest["version"]
+    def _pre_epoch_version(self, table: MicroLakeTable,
+                           epoch: int) -> MicroLakeTable | None:
+        """Newest version of ``table`` committed BEFORE this epoch: walk
+        versions downward from the current manifest (1-2 loads in steady
+        state) instead of history(), which parses EVERY manifest ever
+        written — O(versions) driver work per epoch that compounds to
+        O(epochs²) over a long stream."""
+        v = table.manifest["version"]
         while v >= 0:
             try:
-                cand = MicroLakeTable.load(self.spark, self.child.path, v)
+                cand = MicroLakeTable.load(self.spark, table.path, v)
             except FileNotFoundError:
-                break  # expired by vacuum → no pre-epoch days available
+                return None  # expired by vacuum → no pre-epoch state
             if cand.last_committed_epoch < epoch:
-                prev = cand
-                break
+                return cand
             v -= 1
+        return None
+
+    def _affected_keys(self, parent: MicroLakeTable, parent_key: str,
+                       spec: LevelSpec, affected_parent: DataFrame,
+                       epoch: int) -> DataFrame:
+        """This level's keys the epoch may change: the affected parent
+        rows' keys in the parent's CURRENT snapshot plus their keys in
+        the parent's last pre-epoch snapshot (time travel) — a parent
+        row whose derived key moved dirties both its old and new
+        group."""
+        key = spec.key_expr().alias(spec.key)
+        cur = (
+            parent.snapshot_df()
+            .join(F.broadcast(affected_parent), parent_key)
+            .select(key)
+        )
+        prev = self._pre_epoch_version(parent, epoch)
         if prev is not None:
             old = (
                 prev.snapshot_df()
-                .join(F.broadcast(affected), "conv_id")
-                .select(_day_col().alias("day"))
+                .join(F.broadcast(affected_parent), parent_key)
+                .select(key)
             )
             cur = cur.unionByName(old)
         return cur.distinct()
 
-    def _apply_daily(self, epoch: int, affected: DataFrame) -> MergeResult:
-        """Level-2 maintenance: recompute the affected days from the
-        current child state and MERGE into the day-keyed grandchild
-        (own fence, same epoch)."""
-        if epoch <= self.grandchild.last_committed_epoch:
+    # ---------------- per-epoch maintenance ----------------
+
+    def apply_epoch(self, epoch: int) -> MergeResult:
+        """Walk the chain top-down: recompute each level's affected keys
+        from its (already-caught-up) parent and MERGE. Returns the
+        level-1 result. On replay after a crash, levels already at
+        ``epoch`` no-op (their merge fence) while their affected keys
+        are still computed, so deeper levels can catch up."""
+        affected = self.affected_root_keys(epoch)
+        first: MergeResult | None = None
+        parent: MicroLakeTable = self.main
+        parent_key = self.specs[0].key
+        for i, (spec, table) in enumerate(zip(self.specs, self.tables)):
+            if i > 0:
+                affected = self._affected_keys(
+                    parent, parent_key, spec, affected, epoch
+                )
+            res = self._apply_level(i, epoch, affected)
+            if first is None:
+                first = res
+            parent, parent_key = table, spec.key
+        return first
+
+    def _apply_level(self, i: int, epoch: int,
+                     affected: DataFrame) -> MergeResult:
+        """Recompute one level's affected keys from the parent's live
+        state and MERGE them (level epoch == parent epoch, same fence
+        semantics)."""
+        spec, table = self.specs[i], self.tables[i]
+        if epoch <= table.last_committed_epoch:
             return MergeResult(epoch=epoch, skipped=True)
-        days = self._affected_days(epoch, affected)
-        live = (
-            self.child.snapshot_df()
-            .withColumn("day", _day_col())
-            .join(F.broadcast(days), "day")
-        )
-        rollups = live.groupBy("day").agg(
-            F.count("*").alias("n_convs"),
-            F.sum("n_turns").alias("n_turns"),
-            F.sum("total_chars").alias("total_chars"),
-        )
-        gone = days.join(rollups.select("day"), "day", "left_anti")
+        parent = self.main if i == 0 else self.tables[i - 1]
+        live = parent.snapshot_df()
+        if spec.key_expr is not None:
+            live = live.withColumn(spec.key, spec.key_expr())
+        # Only affected keys are read back; the broadcast keeps the
+        # probe local (affected set ≪ table).
+        live = live.join(F.broadcast(affected), spec.key)
+        rollups = spec.transform(live)
+        # keys that lost every live member → delete the derived row
+        gone = affected.join(rollups.select(spec.key), spec.key, "left_anti")
         epoch_ts = F.timestamp_seconds(F.lit(epoch))
-        payload = [f.name for f in DAILY_SCHEMA.fields]
+        payload = [f.name for f in spec.schema.fields]
         events = rollups.withColumn("ts", epoch_ts).select(
             F.lit("U").alias("op"),
             F.lit(epoch).cast("long").alias("seq"),
@@ -239,13 +321,60 @@ class RollupMaintainer:
             gone.select(
                 F.lit("D").alias("op"),
                 F.lit(epoch).cast("long").alias("seq"),
-                "day",
+                spec.key,
                 *[
                     F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in DAILY_SCHEMA.fields
-                    if f.name not in ("day", "ts")
+                    for f in spec.schema.fields
+                    if f.name not in (spec.key, "ts")
                 ],
                 epoch_ts.alias("ts"),
             ),
         )
-        return self.grandchild.merge(events, epoch=epoch)
+        return table.merge(events, epoch=epoch)
+
+    @property
+    def last_committed_epochs(self) -> list[int]:
+        return [t.last_committed_epoch for t in self.tables]
+
+
+class RollupMaintainer:
+    """The transcripts chain (conv → daily → weekly rollups), depth set
+    by which paths are supplied — a thin facade over ``DerivedChain``
+    kept for the established call sites."""
+
+    def __init__(self, spark: SparkSession, main: MicroLakeTable,
+                 path: str, n_buckets: int | None = None,
+                 daily_path: str | None = None,
+                 weekly_path: str | None = None):
+        if weekly_path is not None and daily_path is None:
+            raise ValueError("weekly rollup requires the daily level")
+        levels: list[tuple[LevelSpec, str]] = [
+            (conv_level(n_buckets or main.n_buckets), path)
+        ]
+        if daily_path is not None:
+            levels.append((DAILY_LEVEL, daily_path))
+        if weekly_path is not None:
+            levels.append((WEEKLY_LEVEL, weekly_path))
+        self.chain = DerivedChain(spark, main, levels)
+
+    @property
+    def child(self) -> MicroLakeTable:
+        return self.chain.tables[0]
+
+    @property
+    def grandchild(self) -> MicroLakeTable | None:
+        return self.chain.tables[1] if len(self.chain.tables) > 1 else None
+
+    @property
+    def greatgrandchild(self) -> MicroLakeTable | None:
+        return self.chain.tables[2] if len(self.chain.tables) > 2 else None
+
+    @property
+    def tables(self) -> list[MicroLakeTable]:
+        return self.chain.tables
+
+    def affected_conv_ids(self, epoch: int) -> DataFrame:
+        return self.chain.affected_root_keys(epoch)
+
+    def apply_epoch(self, epoch: int) -> MergeResult:
+        return self.chain.apply_epoch(epoch)

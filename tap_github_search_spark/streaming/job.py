@@ -170,6 +170,7 @@ def stream(
     dedup: str = "window",
     rollup_path: str | None = None,
     daily_rollup_path: str | None = None,
+    weekly_rollup_path: str | None = None,
     compact_every: int | None = None,
     max_payload_bytes: int | None = None,
     stream_map: dict | None = None,
@@ -222,7 +223,8 @@ def stream(
         from .derived import RollupMaintainer
 
         maintainer = RollupMaintainer(spark, table, rollup_path,
-                                      daily_path=daily_rollup_path)
+                                      daily_path=daily_rollup_path,
+                                      weekly_path=weekly_rollup_path)
 
     seen = {"n": 0}
 
@@ -240,11 +242,9 @@ def stream(
             # landed between the parent commit and a derived commit →
             # restart re-delivers the batch, parent no-ops, the
             # not-yet-committed levels still have to catch up).
-            behind = maintainer.child.last_committed_epoch < batch_id
-            if maintainer.grandchild is not None:
-                behind = behind or (
-                    maintainer.grandchild.last_committed_epoch < batch_id
-                )
+            behind = any(
+                t.last_committed_epoch < batch_id for t in maintainer.tables
+            )
             staged = res.events_in > 0 or res.skipped
             if behind and staged:
                 try:

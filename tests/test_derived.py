@@ -123,17 +123,20 @@ def test_two_level_chain_crash_between_levels(spark, tmp_dir, monkeypatch):
     from tap_github_search_spark.streaming.derived import daily_rollup
     from tap_github_search_spark.streaming.job import stream
 
+    from tap_github_search_spark.streaming.derived import DerivedChain
+
     write_changelog(spark, f"{tmp_dir}/log", 120, n_files=6, delete_pct=25)
-    real = RollupMaintainer._apply_daily
+    real = DerivedChain._apply_level
     calls = {"n": 0}
 
-    def boom(self, epoch, affected):
-        calls["n"] += 1
-        if calls["n"] == 2:  # level-1 of epoch 1 already committed
-            raise RuntimeError("injected crash between chain levels")
-        return real(self, epoch, affected)
+    def boom(self, i, epoch, affected):
+        if i == 1:  # the daily level
+            calls["n"] += 1
+            if calls["n"] == 2:  # level-1 of epoch 1 already committed
+                raise RuntimeError("injected crash between chain levels")
+        return real(self, i, epoch, affected)
 
-    monkeypatch.setattr(RollupMaintainer, "_apply_daily", boom)
+    monkeypatch.setattr(DerivedChain, "_apply_level", boom)
     with pytest.raises(Exception, match="between chain levels"):
         stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
                n_buckets=8, rollup_path=f"{tmp_dir}/rollup",
@@ -183,3 +186,85 @@ def test_day_moves_when_first_turn_deleted(spark, tmp_dir):
     daily1 = {r["day"]: r["n_convs"]
               for r in maint.grandchild.snapshot_df().collect()}
     assert daily1 == {"2025-01-03": 2}  # c1 moved days; 01-01 deleted
+
+
+def _weekly_canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values("week").reset_index(drop=True)
+
+
+def test_three_level_chain_incremental_equals_full(spark, tmp_dir):
+    """VERDICT r2 #4: declared depth-3 chain (conv → daily → weekly).
+    Every level maintained epoch by epoch must equal a full recompute
+    from the final parent state."""
+    from tap_github_search_spark.streaming.derived import (
+        daily_rollup,
+        weekly_rollup,
+    )
+
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=4, delete_pct=30,
+                    out_of_order_pct=40)
+    table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                            n_buckets=8, n_epochs=4)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup",
+                             daily_path=f"{tmp_dir}/daily",
+                             weekly_path=f"{tmp_dir}/weekly")
+    for r in results:
+        maint.apply_epoch(r.epoch)
+
+    full_daily = daily_rollup(conv_rollup(table.snapshot_df()))
+    got_d = _daily_canon(maint.grandchild.snapshot_df().drop("ts").toPandas())
+    pd.testing.assert_frame_equal(got_d, _daily_canon(full_daily.toPandas()),
+                                  check_dtype=False)
+    got_w = _weekly_canon(
+        maint.greatgrandchild.snapshot_df().drop("ts").toPandas()
+    )
+    exp_w = _weekly_canon(weekly_rollup(full_daily).toPandas())
+    pd.testing.assert_frame_equal(got_w, exp_w, check_dtype=False)
+
+
+def test_three_level_chain_crash_between_levels_2_and_3(
+    spark, tmp_dir, monkeypatch
+):
+    """Crash injected BETWEEN the level-2 (daily) commit and the level-3
+    (weekly) commit; restart must converge all four tables."""
+    import pytest
+
+    from tap_github_search_spark.streaming.derived import (
+        DerivedChain,
+        daily_rollup,
+        weekly_rollup,
+    )
+    from tap_github_search_spark.streaming.job import stream
+
+    write_changelog(spark, f"{tmp_dir}/log", 120, n_files=6, delete_pct=25)
+    real = DerivedChain._apply_level
+    calls = {"n": 0}
+
+    def boom(self, i, epoch, affected):
+        if i == 2:  # the weekly level — daily already committed
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash between levels 2 and 3")
+        return real(self, i, epoch, affected)
+
+    monkeypatch.setattr(DerivedChain, "_apply_level", boom)
+    kw = dict(rollup_path=f"{tmp_dir}/rollup",
+              daily_rollup_path=f"{tmp_dir}/daily",
+              weekly_rollup_path=f"{tmp_dir}/weekly")
+    with pytest.raises(Exception, match="between levels 2 and 3"):
+        stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+               n_buckets=8, **kw)
+    table = stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                   f"{tmp_dir}/ckpt", **kw)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup",
+                             daily_path=f"{tmp_dir}/daily",
+                             weekly_path=f"{tmp_dir}/weekly")
+    # every level caught up to the parent's last epoch
+    assert all(t.last_committed_epoch == table.last_committed_epoch
+               for t in maint.tables)
+    full_daily = daily_rollup(conv_rollup(table.snapshot_df()))
+    got_w = _weekly_canon(
+        maint.greatgrandchild.snapshot_df().drop("ts").toPandas()
+    )
+    exp_w = _weekly_canon(weekly_rollup(full_daily).toPandas())
+    pd.testing.assert_frame_equal(got_w, exp_w, check_dtype=False)
