@@ -126,7 +126,17 @@ def _parser() -> argparse.ArgumentParser:
     gn.add_argument("--seed", type=int, default=42)
     gn.add_argument("--evolved", action="store_true")
 
-    for q in (rp, st, gn, dc):
+    lk = sub.add_parser(
+        "lookup",
+        help="bucket-pruned point read: key(s) -> live rows as JSON lines",
+    )
+    lk.add_argument("--table", required=True, help="lake table path")
+    lk.add_argument("--key", action="append", required=True,
+                    help="merge-key value (repeatable → scan_keys)")
+    lk.add_argument("--turn", type=int, default=None,
+                    help="secondary key (single --key only)")
+
+    for q in (rp, st, gn, dc, lk):
         q.add_argument("--cores", type=int, default=None,
                        help="local[N] when no external master is set")
     return p
@@ -243,6 +253,23 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mode == "discover":
         print(json.dumps(discover_plan(spark, args.log_dir, args.table)))
+        return 0
+
+    if args.mode == "lookup":
+        # bucket-pruned point-read path end-to-end (VERDICT r2 #10):
+        # the key hashes to its bucket DRIVER-SIDE (no Spark job for
+        # the hash — parity with F.hash is test-enforced), only that
+        # bucket's files are scanned, and the key predicate pushes into
+        # the parquet scan
+        from .table.microlake import MicroLakeTable
+
+        table = MicroLakeTable.load(spark, args.table)
+        if len(args.key) == 1:
+            df = table.lookup(args.key[0], turn_idx=args.turn)
+        else:
+            df = table.scan_keys(args.key)
+        for row in df.toJSON().collect():
+            print(row)
         return 0
 
     if args.mode == "gen":

@@ -40,3 +40,32 @@ def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def stage_for_reuse(df: DataFrame) -> DataFrame:
+    """Truncate lineage on a frame that multiple self-join branches will
+    re-read, so the upstream computation (shingling, bucket assignment)
+    runs ONCE instead of once per branch.
+
+    Mode is deploy-selectable via ``SPARK_GRAFT_STAGE_MODE``:
+
+    - ``local`` (default here): ``localCheckpoint(eager=False)`` —
+      zero-copy, but blocks live on executor local storage and DIE WITH
+      THE EXECUTOR; single-JVM local mode can't lose one, a real cluster
+      can. Not for production fault domains.
+    - ``persist``: ``persist(DISK_ONLY)`` — recomputable on executor
+      loss (lineage retained), still node-local storage.
+    - ``reliable``: ``checkpoint(eager=False)`` — writes to the
+      fault-tolerant ``sparkContext.setCheckpointDir`` location (HDFS/
+      object store); survives executor loss. The 100 TB cluster choice.
+    """
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_STAGE_MODE", "local")
+    if mode == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    if mode == "reliable":
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)

@@ -40,7 +40,7 @@ from ..functions.textops import (
     word_shingles,
 )
 from ..operators.dedup import final_state
-from .common import _WINNERS_CTE, _log, _t  # noqa: F401
+from .common import _WINNERS_CTE, _log, _t, stage_for_reuse  # noqa: F401
 
 
 # DuckDB CTE: distinct lowercase word-3-gram shingles per doc
@@ -62,7 +62,9 @@ sh AS (
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh:array<string>) — distinct lowercase word-3-shingles.
 
-    Lineage-truncated (lazy localCheckpoint): the LSH queries reference
+    Lineage-truncated (stage_for_reuse — localCheckpoint here,
+    persist/reliable-checkpoint on a real cluster, see
+    plans/common.py): the LSH queries reference
     this frame from 3+ self-join branches, and without truncation each
     branch re-runs the regex tokenize + md5 shingling over the whole
     corpus — at 100 TB that's the dominant cost ×3. With it, shingling
@@ -77,7 +79,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=False)
+        .transform(stage_for_reuse)
     )
 
 
@@ -517,9 +519,9 @@ def _ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage-truncated: the ANN queries self-join this frame (probe
     # side, corpus side, hot-bucket sizing) — without truncation each
     # branch re-scans the corpus and re-derives the buckets.
-    return cap_buckets(
+    return stage_for_reuse(cap_buckets(
         emb, ["bucket"], "vec_id", ANN_BUCKET_CAP
-    ).localCheckpoint(eager=False)
+    ))
 
 
 def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,7 +671,7 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", F.col("_c.seed_id").alias("cell"))
         # lineage-truncated: probed from two branches below — without
         # it each branch re-runs the K-way distance assignment.
-        .localCheckpoint(eager=False)
+        .transform(stage_for_reuse)
     )
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"

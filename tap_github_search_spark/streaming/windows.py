@@ -35,9 +35,10 @@ def _window_agg(df: DataFrame, width: str) -> DataFrame:
 def batch_window_counts(
     spark: SparkSession, log_dirs: list[str], width: str = "1 hour"
 ) -> DataFrame:
-    return _window_agg(
-        spark.read.option("mergeSchema", "true").parquet(*log_dirs), width
-    )
+    from .job import discover_schema
+
+    schema = discover_schema(spark, *log_dirs)
+    return _window_agg(spark.read.schema(schema).parquet(*log_dirs), width)
 
 
 def stream_window_counts(
@@ -57,17 +58,19 @@ def stream_window_counts(
     (max ts - watermark) is emitted; trailing windows stay open (they
     would emit on the next run) — callers compare accordingly.
     """
-    schema_src = spark.read.option("mergeSchema", "true").parquet(*log_dirs)
-    reader = spark.readStream.schema(schema_src.schema)
+    from .job import discover_schema
+
+    schema = discover_schema(spark, *log_dirs)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = None
     for d in log_dirs:
         part = reader.parquet(d)
-        for fld in schema_src.schema.fields:
+        for fld in schema.fields:
             if fld.name not in part.columns:
                 part = part.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-        part = part.select(*[f.name for f in schema_src.schema.fields])
+        part = part.select(*[f.name for f in schema.fields])
         src = part if src is None else src.unionByName(part)
 
     agg = _window_agg(src.withWatermark("ts", watermark), width)

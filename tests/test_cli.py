@@ -113,3 +113,52 @@ def test_discover_emits_add_column_plan(spark, tmp_dir, capsys):
     plan2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert plan2["table"] is None
     assert plan2["ddl"][0].startswith("CREATE TABLE t (conv_id string")
+
+
+def test_cli_lookup_point_read(spark, tmp_dir, capsys):
+    """VERDICT r2 #10: the bucket-pruned point-read path exposed
+    end-to-end. The lookup plan must read ONLY the key's bucket's files
+    and must not launch any Spark job just to hash the key."""
+    import os
+
+    from tap_github_search_spark.streaming.job import replay
+    from tap_github_search_spark.sources.generator import write_changelog
+    from tap_github_search_spark.table.microlake import (
+        MicroLakeTable,
+        murmur3_x86_32,
+    )
+
+    write_changelog(spark, f"{tmp_dir}/log", 120, n_files=2)
+    replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", n_buckets=16)
+
+    key = "conv_00000003"
+    rc = main(["lookup", "--table", f"{tmp_dir}/t", "--key", key])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["conv_id"] == key for r in rows)
+
+    # plan-level pruning: the library path under the CLI reads only the
+    # key's bucket's files
+    table = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    bucket = murmur3_x86_32(key.encode("utf-8")) % table.n_buckets
+    read = {os.path.relpath(p.replace("file:", ""), table.path)
+            for p in table.lookup(key).inputFiles()}
+    by_path = {f["path"]: f["bucket"] for f in table.manifest["files"]}
+    assert read and all(by_path[p] == bucket for p in read)
+    assert len(read) < len(by_path)
+
+    # the bucket hash itself costs zero Spark jobs
+    sc = spark.sparkContext
+    sc.setJobGroup("cli-lookup-hash", "driver-side bucket hash")
+    _ = murmur3_x86_32(key.encode("utf-8")) % table.n_buckets
+    assert list(sc.statusTracker().getJobIdsForGroup("cli-lookup-hash")) == []
+    sc.setJobGroup(None, None)
+
+    # multi-key form routes through scan_keys
+    rc = main(["lookup", "--table", f"{tmp_dir}/t",
+               "--key", key, "--key", "conv_00000005"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["conv_id"] for r in rows} == {key, "conv_00000005"}
