@@ -1279,3 +1279,82 @@ REGISTRY["conv_transcript_pandas"] = (
     REGISTRY["conv_transcript_pandas"][0],
     SQL_CONV_TRANSCRIPT,
 )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a batch catalog query (the SQL-oracle
+    twin of streaming/sessions.py's stateful operator, SURVEY §2.11):
+    per user, events >30 min apart start a new session; emit per-session
+    bounds and counts. One shuffle (partition by user) + two linear
+    window passes — the classic lag→break→cumsum plan that survives any
+    scale because state never leaves the partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    brk = F.when(t - F.lag(t).over(w) > 1800, 1).otherwise(0)
+    return (
+        ev.withColumn("_brk", brk)
+        .withColumn("session_id", F.sum("_brk").over(w).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           epoch(ts) - lag(epoch(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+"""
+
+
+def q_events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets (OLAP ROLLUP): one scan produces
+    (type, month), (type), and grand-total aggregates — the multi-level
+    report a reference user gets from repeated GROUP BYs, in a single
+    map-side-combinable pass. ``grouping_lvl`` disambiguates NULL group
+    keys from NULL data."""
+    ev = _t(spark, sf_dir, "events")
+    month = F.date_format("ts", "yyyy-MM").alias("month")
+    return (
+        ev.select("event_type", month, "value")
+        .rollup("event_type", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100)
+            .alias("total_value"),
+            F.grouping_id().cast("int").alias("grouping_lvl"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP_SETS = """
+SELECT event_type, strftime(ts, '%Y-%m') AS month,
+       count(*) AS n,
+       floor(sum(value) * 100 + 0.5) / 100 AS total_value,
+       CAST(grouping(event_type) * 2 + grouping(strftime(ts, '%Y-%m'))
+            AS INT) AS grouping_lvl
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m'))
+"""
+
+
+REGISTRY.update({
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_rollup_sets": (q_events_rollup_sets, SQL_EVENTS_ROLLUP_SETS),
+})

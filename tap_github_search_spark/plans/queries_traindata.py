@@ -919,3 +919,93 @@ REGISTRY_TRAINDATA = {
     "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
     "tpch_local_supplier": (q_tpch_local_supplier, SQL_TPCH_LOCAL_SUPPLIER),
 }
+
+
+# ================================================== dataset preparation
+
+def q_docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment — the dataset-prep
+    primitive every training pipeline needs to be REPRODUCIBLE and
+    key-stable (a doc keeps its split across reruns and cluster sizes,
+    unlike ``df.sample``/``randomSplit`` whose assignment depends on
+    partitioning). Hash-mod over md5(doc_id): 80/10/10. Pure codegen'd
+    expressions; at 100 TB this is a narrow map — no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    # first 4 hex chars → 16 bits → mod 100: cross-engine (md5-hex) and
+    # uniform enough for split purposes
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long") % 100
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", split.alias("split"), h.cast("int").alias("bucket_pct")
+    )
+
+
+SQL_DOCS_SPLIT_ASSIGN = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(b AS INT) AS bucket_pct
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 100 AS b
+  FROM documents
+)
+"""
+
+
+def q_docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking (packing prep): split each document into
+    fixed-size token windows (here 32 tokens) — the op that turns a
+    variable-length corpus into trainable sequences. One explode over a
+    computed chunk index; chunk text reassembled with slice+join so the
+    result is pure data, not offsets. Narrow + explode — scales as a
+    map-side op, no shuffle."""
+    W = 32
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(W)).cast("int")
+    return (
+        docs.select("doc_id", toks.alias("w"), n_chunks.alias("k"))
+        .filter(F.col("k") > 0)
+        .select(
+            "doc_id", "w",
+            F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("w"), F.col("chunk_idx") * W + 1, W), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("w") - F.col("chunk_idx") * W, F.lit(W)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SQL_DOCS_CHUNK_TOKENS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(w[i*32 + 1 : i*32 + 32], ' ') AS chunk_text,
+       CAST(least(len(w) - i*32, 32) AS BIGINT) AS n_tokens
+FROM d, LATERAL (
+  SELECT unnest(generate_series(0, CAST(ceil(len(w) / 32.0) AS BIGINT) - 1))
+         AS i) t
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "docs_split_assign": (q_docs_split_assign, SQL_DOCS_SPLIT_ASSIGN),
+    "docs_chunk_tokens": (q_docs_chunk_tokens, SQL_DOCS_CHUNK_TOKENS),
+})
