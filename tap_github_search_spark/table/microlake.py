@@ -645,6 +645,40 @@ class MicroLakeTable:
 
     # ---------------- commit machinery ----------------
 
+    def _key_zone(self, abspath: str) -> tuple[str, str] | None:
+        """Primary-key (min, max) from the parquet FOOTER statistics —
+        a KB-sized read per new file at commit time, O(epoch files) on
+        the driver (Iceberg's add_files collects the same stats into
+        its manifests). Returns None when stats are absent; pruning
+        then degrades gracefully to bucket-only. parquet-mr truncates
+        long string stats with a proper upper-bound increment, so the
+        interval stays a valid cover."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(abspath).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == self.keys[0]
+            )
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                if isinstance(mx, bytes):
+                    mx = mx.decode("utf-8", "replace")
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is None:
+                return None
+            return str(lo), str(hi)
+        except (StopIteration, OSError, ImportError):
+            return None
+
     def _list_epoch_files(self, dirname: str) -> list[dict]:
         epoch_dir = os.path.join(self.path, "data", dirname)
         out: list[dict] = []
@@ -656,13 +690,25 @@ class MicroLakeTable:
             bucket = int(bdir.split("=")[1])
             for fn in sorted(os.listdir(os.path.join(epoch_dir, bdir))):
                 if fn.endswith(".parquet"):
-                    out.append(
-                        {
-                            "path": os.path.join("data", dirname, bdir, fn),
-                            "bucket": bucket,
-                        }
+                    entry = {
+                        "path": os.path.join("data", dirname, bdir, fn),
+                        "bucket": bucket,
+                    }
+                    zone = self._key_zone(
+                        os.path.join(epoch_dir, bdir, fn)
                     )
+                    if zone is not None:
+                        entry["key_min"], entry["key_max"] = zone
+                    out.append(entry)
         return out
+
+    @staticmethod
+    def _zone_covers(entry: dict, key_value: str) -> bool:
+        """File-level zone-map check: False only when the footer stats
+        PROVE the key is absent. Entries without stats always match."""
+        if "key_min" not in entry:
+            return True
+        return entry["key_min"] <= key_value <= entry["key_max"]
 
     #: manifest keeps this many most-recent lineage entries inline;
     #: older entries spill to immutable segment files. Without the
@@ -798,7 +844,13 @@ class MicroLakeTable:
         with ``F.hash`` is test-enforced) — a point lookup must not
         cost a Spark job just to hash one key."""
         bucket = murmur3_x86_32(key_value.encode("utf-8")) % self.n_buckets
-        files = [f for f in self.manifest["files"] if f["bucket"] == bucket]
+        # bucket pruning first, then file-level zone maps: a bucket can
+        # hold many generations of files; footer min/max skips the ones
+        # that provably don't contain the key
+        files = [
+            f for f in self.manifest["files"]
+            if f["bucket"] == bucket and self._zone_covers(f, key_value)
+        ]
         df = self._read_files(files)
         if self.manifest.get("read_dedup"):
             df = self._read_lww(df)
@@ -815,11 +867,16 @@ class MicroLakeTable:
         batch generalization of ``lookup``. For K keys over B buckets
         the read cost is ≤ min(K, B)/B of the table, independent of
         table size."""
-        buckets = {
-            murmur3_x86_32(k.encode("utf-8")) % self.n_buckets
-            for k in key_values
-        }
-        files = [f for f in self.manifest["files"] if f["bucket"] in buckets]
+        by_bucket: dict[int, list[str]] = {}
+        for k in key_values:
+            by_bucket.setdefault(
+                murmur3_x86_32(k.encode("utf-8")) % self.n_buckets, []
+            ).append(k)
+        files = [
+            f for f in self.manifest["files"]
+            if f["bucket"] in by_bucket
+            and any(self._zone_covers(f, k) for k in by_bucket[f["bucket"]])
+        ]
         df = self._read_files(files)
         if self.manifest.get("read_dedup"):
             df = self._read_lww(df)

@@ -489,3 +489,43 @@ def test_rebucket_loser_keeps_published_spec(spark, tmp_dir):
     fresh = MicroLakeTable.load(spark, f"{tmp_dir}/t")
     assert fresh.n_buckets == 8
     assert fresh.manifest["last_rebucket_version"] == fresh.manifest["version"]
+
+
+def test_zone_map_file_skipping_in_lookup(spark, tmp_dir):
+    """Per-file key zone maps (parquet footer min/max recorded in the
+    manifest at commit) must prune files within a bucket: with ONE
+    bucket (bucket pruning inert) and two MOR generations holding
+    disjoint key ranges, a lookup reads only the generation whose range
+    covers the key."""
+    import os
+
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    e0 = _events(spark, [(i, "I", f"aaa_{i}", 0, 10 + i) for i in range(8)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=1)
+    e1 = _events(spark, [(100 + i, "I", f"zzz_{i}", 0, 20 + i)
+                         for i in range(8)])
+    table.merge(e1, epoch=1, merge_mode="mor")
+
+    t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    entries = t.manifest["files"]
+    assert len(entries) >= 2
+    assert all("key_min" in f and "key_max" in f for f in entries)
+
+    df = t.lookup("aaa_3")
+    assert df.count() == 1
+    read = {os.path.relpath(p.replace("file:", ""), t.path)
+            for p in df.inputFiles()}
+    skipped = {f["path"] for f in entries if f["key_min"] > "aaa_3"}
+    assert skipped and not (read & skipped)
+
+    # scan_keys prunes per bucket with the same zones; a key set touching
+    # both ranges reads both generations but still returns exact rows
+    got = {r["conv_id"] for r in t.scan_keys(["aaa_3", "zzz_5"]).collect()}
+    assert got == {"aaa_3", "zzz_5"}
+    # a key set confined to one range skips the other generation
+    one = t.scan_keys(["aaa_1", "aaa_2"])
+    read1 = {os.path.relpath(p.replace("file:", ""), t.path)
+             for p in one.inputFiles()}
+    assert not (read1 & skipped)
