@@ -1009,3 +1009,119 @@ REGISTRY_TRAINDATA.update({
     "docs_split_assign": (q_docs_split_assign, SQL_DOCS_SPLIT_ASSIGN),
     "docs_chunk_tokens": (q_docs_chunk_tokens, SQL_DOCS_CHUNK_TOKENS),
 })
+
+
+# ===================================================== dedup clustering
+
+#: safety bound on label-propagation rounds (components converge in
+#: graph-diameter rounds; near-dup clusters are shallow in practice)
+CC_MAX_ROUNDS = 20
+
+
+def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: MinHash-LSH verified pairs → connected
+    components → one canonical doc per cluster. This is the step that
+    turns a pair list into an actionable dedup decision (keep the
+    canonical = min doc_id, drop the rest) — the reference's dedup
+    surface stops at key-level set membership
+    (tap_github_search/streams.py:37-53 dedupes search hits by repo id);
+    a corpus-level pipeline needs transitive closure over similarity.
+
+    Algorithm: Pregel-style min-label propagation (hash-min). Each
+    round: labels flow across edges, every node keeps the min label
+    seen; converges in O(diameter) rounds (component min reaches every
+    member), with each round ONE shuffle join + ONE map-side-combinable
+    min-aggregate — the GraphX/Pregel connected-components dataflow
+    re-expressed on DataFrames. Per-round lineage is truncated
+    (stage_for_reuse) so plan depth stays O(1), not O(rounds); the only
+    driver-side value per round is the 1-row convergence counter
+    (exactly Pregel's active-vertex count). For adversarially deep
+    chain graphs the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce", O(log² n) rounds) drops in by
+    replacing the propagation step; near-dup similarity graphs are
+    dense and shallow, where hash-min is fewer shuffles.
+
+    Scale: edges come from the capped LSH join (sub-quadratic,
+    MINHASH_BUCKET_CAP); labels frame is one row per doc — both
+    key-partitioned shuffles, no driver-side iteration over rows.
+    """
+    pairs = q_docs_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .transform(stage_for_reuse)
+    )
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .transform(stage_for_reuse)
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        prop = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .transform(stage_for_reuse)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("lbl").alias("olbl")), "doc_id"
+            )
+            .filter(F.col("lbl") != F.col("olbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+    )
+
+
+SQL_DOCS_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_MINHASH}) q
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lbls AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+szs AS (SELECT cluster_id, count(*) AS cluster_size FROM lbls GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+FROM lbls l JOIN szs s USING (cluster_id)
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "docs_dedup_clusters": (q_docs_dedup_clusters, SQL_DOCS_DEDUP_CLUSTERS),
+})
