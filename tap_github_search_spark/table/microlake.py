@@ -175,6 +175,25 @@ class MicroLakeTable:
         first key into n_buckets partitions (partition id == bucket id)."""
         return df.repartition(self.n_buckets, self.keys[0])
 
+    def _cluster_sorted(self, df: DataFrame) -> DataFrame:
+        """Key-clustered file layout as an explicit WRITE INVARIANT:
+        sort each task partition by (_bucket, *keys) before a
+        ``partitionBy("_bucket")`` write. Two effects, both free:
+
+        - FileFormatWriter requires dynamic-partition output sorted by
+          the partition columns and would otherwise INJECT its own sort
+          by ``_bucket`` alone — an unstable sort that scrambles any
+          upstream key order. Prefixing ``_bucket`` here satisfies that
+          requirement, so no second sort is planned; widening the sort
+          key to ``(conv_id, turn_idx)`` costs only the comparator.
+        - Every data file comes out sorted by the merge keys, so parquet
+          row-group min/max stats are tight: ``lookup``'s pushed key
+          predicate skips row groups inside a file, the manifest zone
+          maps (``_key_zone``) shrink to real intervals, and sorted keys
+          compress better. Iceberg's write.sort-order, same rationale.
+        """
+        return df.sortWithinPartitions("_bucket", *self.keys)
+
     def _read_files(
         self, files: list[dict], schema: T.StructType | None = None
     ) -> DataFrame:
@@ -382,7 +401,7 @@ class MicroLakeTable:
         stage_name = f"epoch={epoch}-{commit_tag}"
         stage_dir = os.path.join(self.path, "data", stage_name)
         (
-            store.write.mode("overwrite")
+            self._cluster_sorted(store).write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(stage_dir)
         )
@@ -455,7 +474,7 @@ class MicroLakeTable:
             rw_name = f"epoch={epoch}-{commit_tag}.rw"
             rw_dir = os.path.join(self.path, "data", rw_name)
             (
-                rewrite.write.mode("overwrite")
+                self._cluster_sorted(rewrite).write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(rw_dir)
             )
@@ -544,7 +563,9 @@ class MicroLakeTable:
         epoch = self.last_committed_epoch
         dirname = f"epoch={epoch}.compact-{uuid.uuid4().hex[:8]}"
         (
-            out.repartition(max(1, len(multi)), "_bucket")
+            self._cluster_sorted(
+                out.repartition(max(1, len(multi)), "_bucket")
+            )
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(os.path.join(self.path, "data", dirname))
@@ -583,7 +604,7 @@ class MicroLakeTable:
         epoch = self.last_committed_epoch
         dirname = f"epoch={epoch}.rebucket-{uuid.uuid4().hex[:8]}"
         (
-            out.repartition(new_n, self.keys[0])
+            self._cluster_sorted(out.repartition(new_n, self.keys[0]))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(os.path.join(self.path, "data", dirname))

@@ -529,3 +529,36 @@ def test_zone_map_file_skipping_in_lookup(spark, tmp_dir):
     read1 = {os.path.relpath(p.replace("file:", ""), t.path)
              for p in one.inputFiles()}
     assert not (read1 & skipped)
+
+
+def test_data_files_are_key_sorted(spark, tmp_dir):
+    """Write invariant: every data file is sorted by (conv_id,
+    turn_idx) — FileFormatWriter's injected _bucket-only sort must not
+    scramble key order (tight row-group stats + zone maps depend on
+    it). Checked raw with pyarrow on both a staged epoch and a CoW
+    rewrite generation."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    rows = [(i, "I", f"c{i % 7:02d}", i // 7, 10 + i) for i in range(60)]
+    _events(spark, rows).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=2)
+    # overlapping second epoch forces the CoW rewrite path
+    upd = [(100 + i, "U", f"c{i % 7:02d}", i // 7, 200 + i) for i in range(30)]
+    table.merge(_events(spark, upd), epoch=1)
+
+    t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert t.manifest["files"]
+    for entry in t.manifest["files"]:
+        tb = pq.read_table(
+            f"{tmp_dir}/t/{entry['path']}", columns=["conv_id", "turn_idx"]
+        )
+        got = list(zip(tb["conv_id"].to_pylist(), tb["turn_idx"].to_pylist()))
+        assert got == sorted(got), entry["path"]
+        # zone map equals the file's true key interval
+        cids = tb["conv_id"].to_pylist()
+        assert entry["key_min"] == min(cids)
+        assert entry["key_max"] == max(cids)
