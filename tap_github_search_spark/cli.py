@@ -136,7 +136,23 @@ def _parser() -> argparse.ArgumentParser:
     lk.add_argument("--turn", type=int, default=None,
                     help="secondary key (single --key only)")
 
-    for q in (rp, st, gn, dc, lk):
+    mt = sub.add_parser(
+        "maintain",
+        help="auto-maintenance: compact/rebucket/vacuum per policy",
+    )
+    mt.add_argument("--table", required=True, help="lake table path")
+    mt.add_argument("--target-bucket-mb", type=int, default=256,
+                    help="rebucket when avg bucket exceeds this")
+    mt.add_argument("--max-generations", type=int, default=4,
+                    help="compact buckets holding more file generations")
+    mt.add_argument("--keep-versions", type=int, default=8,
+                    help="snapshots to retain (vacuum beyond)")
+    mt.add_argument("--grace-seconds", type=float, default=3600.0,
+                    help="never delete files younger than this")
+    mt.add_argument("--dry-run", action="store_true",
+                    help="report decisions without acting")
+
+    for q in (rp, st, gn, dc, lk, mt):
         q.add_argument("--cores", type=int, default=None,
                        help="local[N] when no external master is set")
     return p
@@ -270,6 +286,23 @@ def main(argv: list[str] | None = None) -> int:
             df = table.scan_keys(args.key)
         for row in df.toJSON().collect():
             print(row)
+        return 0
+
+    if args.mode == "maintain":
+        # the scheduled table-maintenance loop (Iceberg OPTIMIZE +
+        # expire_snapshots analog): decisions from O(files) manifest
+        # stats, Spark jobs only when an action fires
+        from .table.microlake import MicroLakeTable
+
+        table = MicroLakeTable.load(spark, args.table)
+        report = table.optimize(
+            target_bucket_bytes=args.target_bucket_mb << 20,
+            max_generations=args.max_generations,
+            keep_versions=args.keep_versions,
+            grace_seconds=args.grace_seconds,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps(report))
         return 0
 
     if args.mode == "gen":

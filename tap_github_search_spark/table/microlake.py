@@ -664,6 +664,111 @@ class MicroLakeTable:
             os.remove(os.path.join(mdir, n))
         return deleted
 
+    def optimize(
+        self,
+        *,
+        target_bucket_bytes: int = 256 << 20,
+        max_generations: int = 4,
+        compact_batch: int = 64,
+        keep_versions: int = 8,
+        grace_seconds: float = 3600.0,
+        dry_run: bool = False,
+    ) -> dict:
+        """Auto-maintenance policy: inspect manifest/layout stats and
+        run the cheapest action that restores the table's layout
+        invariants (the operational loop a 10^10-row table needs on a
+        schedule — Iceberg/Delta ship the same as OPTIMIZE +
+        expire_snapshots; the reference has no table to maintain, its
+        state is one bookmark blob per stream,
+        /root/reference/tap_github/client.py:83-101).
+
+        Decision inputs are O(files) driver-side stats (manifest rows +
+        ``os.stat`` sizes) — NO data scan and NO Spark job unless an
+        action actually fires:
+
+        1. **MOR generation pileup** — any bucket holding more than
+           ``max_generations`` file generations pays a per-read LWW
+           resolve; run a bounded ``compact`` (worst buckets first,
+           ``compact_batch`` per round so one maintenance window never
+           rewrites the whole table).
+        2. **Bucket growth** — average bucket size above
+           ``target_bucket_bytes`` means per-bucket rewrite cost and
+           per-task state are drifting up; ``rebucket`` to the next
+           power of two that restores the target. Rebucket subsumes
+           compaction (it LWW-resolves generations on the way through),
+           so when both trigger only rebucket runs.
+        3. **Manifest history growth** — more than ``keep_versions``
+           retained snapshots: ``vacuum`` expires old manifests and
+           deletes orphaned data files (age-gated by
+           ``grace_seconds``).
+
+        ``dry_run`` reports the decisions without acting. Returns the
+        action report; calling again immediately is a no-op (policy is
+        idempotent at a fixed point).
+        """
+        report: dict = {
+            "actions": [],
+            "compacted_buckets": 0,
+            "rebucketed_to": None,
+            "vacuumed_files": 0,
+            "dry_run": dry_run,
+        }
+        files = self.manifest["files"]
+        by_bucket: dict[int, int] = {}
+        for f in files:
+            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        pileup = sorted(
+            (b for b, n in by_bucket.items() if n > max_generations),
+        )
+        total_bytes = 0
+        for f in files:
+            try:
+                total_bytes += os.path.getsize(
+                    os.path.join(self.path, f["path"])
+                )
+            except OSError:
+                pass
+        report["total_bytes"] = total_bytes
+        per_bucket = total_bytes / max(1, self.n_buckets)
+
+        want_rebucket = per_bucket > target_bucket_bytes
+        if want_rebucket:
+            new_n = self.n_buckets
+            while total_bytes / new_n > target_bucket_bytes:
+                new_n *= 2
+            report["actions"].append(
+                f"rebucket {self.n_buckets}->{new_n} "
+                f"(avg bucket {int(per_bucket)} B > {target_bucket_bytes} B)"
+            )
+            if not dry_run:
+                self.rebucket(new_n)
+                report["rebucketed_to"] = new_n
+        elif pileup:
+            n = min(len(pileup), compact_batch)
+            report["actions"].append(
+                f"compact {n}/{len(pileup)} buckets "
+                f"(>{max_generations} generations)"
+            )
+            if not dry_run:
+                report["compacted_buckets"] = self.compact(
+                    max_buckets=compact_batch
+                )
+
+        mdir = os.path.join(self.path, "_manifests")
+        n_manifests = sum(
+            1 for x in os.listdir(mdir) if x.startswith("manifest-")
+        )
+        if n_manifests > keep_versions:
+            report["actions"].append(
+                f"vacuum ({n_manifests} snapshots > keep {keep_versions})"
+            )
+            if not dry_run:
+                report["vacuumed_files"] = self.vacuum(
+                    keep_versions=keep_versions,
+                    grace_seconds=grace_seconds,
+                )
+        return report
+
     # ---------------- commit machinery ----------------
 
     def _key_zone(self, abspath: str) -> tuple[str, str] | None:

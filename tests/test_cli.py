@@ -162,3 +162,34 @@ def test_cli_lookup_point_read(spark, tmp_dir, capsys):
     rows = [json.loads(ln) for ln in
             capsys.readouterr().out.strip().splitlines()]
     assert {r["conv_id"] for r in rows} == {key, "conv_00000005"}
+
+
+def test_cli_maintain_reports_and_acts(spark, tmp_dir, capsys):
+    """`maintain` runs the optimize() policy end-to-end: a MOR pileup
+    gets compacted and the JSON report names the action; the follow-up
+    run is a policy no-op."""
+    from tap_github_search_spark.streaming.job import replay
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+    from tests.test_engine import _events
+
+    rows = [(i, "I", f"c{i % 5}", i // 5, 10 + i) for i in range(20)]
+    _events(spark, rows).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=2)
+    for e in range(1, 4):
+        upd = [(100 * e + i, "U", f"c{i % 5}", 0, 100 * e + i)
+               for i in range(5)]
+        table.merge(_events(spark, upd), epoch=e, merge_mode="mor")
+
+    rc = main(["maintain", "--table", f"{tmp_dir}/t",
+               "--max-generations", "1", "--keep-versions", "100"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["compacted_buckets"] > 0
+    assert any(a.startswith("compact") for a in rep["actions"])
+    assert not MicroLakeTable.load(spark, f"{tmp_dir}/t") \
+        .manifest.get("read_dedup")
+
+    rc = main(["maintain", "--table", f"{tmp_dir}/t",
+               "--max-generations", "1", "--keep-versions", "100"])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep2["actions"] == []

@@ -1,0 +1,78 @@
+"""optimize(): manifest-stats-driven auto-maintenance policy."""
+
+from __future__ import annotations
+
+import os
+
+from tap_github_search_spark.streaming.job import replay
+from tap_github_search_spark.table.microlake import MicroLakeTable
+from tests.test_engine import _events
+
+
+def _seed(spark, tmp_dir, n_buckets=2):
+    rows = [(i, "I", f"c{i % 5}", i // 5, 10 + i) for i in range(40)]
+    _events(spark, rows).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                      n_buckets=n_buckets)
+    return table
+
+
+def test_optimize_compacts_mor_pileup(spark, tmp_dir):
+    table = _seed(spark, tmp_dir)
+    for e in range(1, 6):  # five MOR generations on the same keys
+        upd = [(100 * e + i, "U", f"c{i % 5}", i // 5, 100 * e + i)
+               for i in range(10)]
+        table.merge(_events(spark, upd), epoch=e, merge_mode="mor")
+    before = table.snapshot_df().orderBy("conv_id", "turn_idx").collect()
+    assert table.manifest.get("read_dedup")
+
+    rep = table.optimize(max_generations=3, keep_versions=100)
+    assert rep["compacted_buckets"] > 0
+    assert any(a.startswith("compact") for a in rep["actions"])
+    t2 = MicroLakeTable.load(spark, table.path)
+    assert not t2.manifest.get("read_dedup")
+    after = t2.snapshot_df().orderBy("conv_id", "turn_idx").collect()
+    assert after == before
+
+    # fixed point: immediately re-running decides nothing
+    rep2 = t2.optimize(max_generations=3, keep_versions=100)
+    assert rep2["actions"] == []
+
+
+def test_optimize_rebuckets_on_growth_and_subsumes_compact(spark, tmp_dir):
+    table = _seed(spark, tmp_dir)
+    table.merge(_events(spark, [(900, "U", "c1", 0, 900)]), epoch=1,
+                merge_mode="mor")
+    # tiny target forces growth action; pileup exists too — rebucket wins
+    rep = table.optimize(target_bucket_bytes=1024, max_generations=0,
+                         keep_versions=100)
+    assert rep["rebucketed_to"] is not None
+    assert rep["rebucketed_to"] > 2 and rep["compacted_buckets"] == 0
+    t2 = MicroLakeTable.load(spark, table.path)
+    assert t2.n_buckets == rep["rebucketed_to"]
+    assert (t2.n_buckets & (t2.n_buckets - 1)) == 0  # power of two
+    assert not t2.manifest.get("read_dedup")
+    assert t2.snapshot_df().filter("conv_id = 'c1' AND turn_idx = 0") \
+        .first()["text"] is not None
+
+
+def test_optimize_dry_run_and_vacuum(spark, tmp_dir):
+    table = _seed(spark, tmp_dir)
+    for e in range(1, 4):
+        table.merge(_events(spark, [(50 + e, "U", "c0", 0, 50 + e)]), epoch=e)
+    v_before = table.manifest["version"]
+
+    rep = table.optimize(target_bucket_bytes=1024, keep_versions=1,
+                         grace_seconds=0.0, dry_run=True)
+    assert rep["actions"]  # decisions reported...
+    t2 = MicroLakeTable.load(spark, table.path)
+    assert t2.manifest["version"] == v_before  # ...but nothing acted
+
+    rep = t2.optimize(keep_versions=1, grace_seconds=0.0)
+    assert any(a.startswith("vacuum") for a in rep["actions"])
+    assert rep["vacuumed_files"] > 0
+    mdir = os.path.join(t2.path, "_manifests")
+    assert sum(1 for x in os.listdir(mdir)
+               if x.startswith("manifest-")) == 1
+    t3 = MicroLakeTable.load(spark, t2.path)
+    assert t3.snapshot_df().count() == 40
