@@ -194,6 +194,30 @@ class MicroLakeTable:
         """
         return df.sortWithinPartitions("_bucket", *self.keys)
 
+    def _write(self, df: DataFrame):
+        """The single data-file writer: key-sorted layout
+        (``_cluster_sorted``) + a parquet-NATIVE bloom filter on the
+        primary key. Zone maps (footer min/max) prune well when key
+        populations are range-separated (e.g. MOR generations touching
+        different key cohorts) but degrade to no-ops for uuid-like keys
+        whose per-file range spans the whole key space; the bloom
+        answers the point-membership question those keys need, is
+        checked by the parquet reader itself during row-group filtering
+        (no engine code on the read path), and costs ~1.2 bytes/key in
+        the file. ``SPARK_GRAFT_BLOOM_NDV`` sizes it per file (0
+        disables; default 100k ≈ the per-bucket key count at the target
+        bucket size). Iceberg exposes the identical knob as
+        write.parquet.bloom-filter-enabled.column.*."""
+        w = self._cluster_sorted(df).write.mode("overwrite")
+        ndv = int(os.environ.get("SPARK_GRAFT_BLOOM_NDV", "100000"))
+        if ndv > 0:
+            k = self.keys[0]
+            w = (
+                w.option(f"parquet.bloom.filter.enabled#{k}", "true")
+                .option(f"parquet.bloom.filter.expected.ndv#{k}", str(ndv))
+            )
+        return w.partitionBy("_bucket")
+
     def _read_files(
         self, files: list[dict], schema: T.StructType | None = None
     ) -> DataFrame:
@@ -400,11 +424,7 @@ class MicroLakeTable:
         commit_tag = uuid.uuid4().hex[:8]
         stage_name = f"epoch={epoch}-{commit_tag}"
         stage_dir = os.path.join(self.path, "data", stage_name)
-        (
-            self._cluster_sorted(store).write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(stage_dir)
-        )
+        self._write(store).parquet(stage_dir)
         staged_files = self._list_epoch_files(stage_name)
         events_in = int(obs.get["n_in"])
         events_rejected = events_in - int(obs.get["n_valid"])
@@ -473,11 +493,7 @@ class MicroLakeTable:
             ).withColumn("_bucket", self._bucket_expr(self.keys[0]))
             rw_name = f"epoch={epoch}-{commit_tag}.rw"
             rw_dir = os.path.join(self.path, "data", rw_name)
-            (
-                self._cluster_sorted(rewrite).write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(rw_dir)
-            )
+            self._write(rewrite).parquet(rw_dir)
             new_files += self._list_epoch_files(rw_name)
 
         rows_applied = sum(r["rows_applied"] for r in lin_rows)
@@ -562,13 +578,8 @@ class MicroLakeTable:
         out = df.withColumn("_bucket", self._bucket_expr(self.keys[0]))
         epoch = self.last_committed_epoch
         dirname = f"epoch={epoch}.compact-{uuid.uuid4().hex[:8]}"
-        (
-            self._cluster_sorted(
-                out.repartition(max(1, len(multi)), "_bucket")
-            )
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(os.path.join(self.path, "data", dirname))
+        self._write(out.repartition(max(1, len(multi)), "_bucket")).parquet(
+            os.path.join(self.path, "data", dirname)
         )
         keep = [f for f in self.manifest["files"] if f["bucket"] not in multi]
         new_files = self._list_epoch_files(dirname)
@@ -603,11 +614,8 @@ class MicroLakeTable:
         out = df.withColumn("_bucket", new_bucket)
         epoch = self.last_committed_epoch
         dirname = f"epoch={epoch}.rebucket-{uuid.uuid4().hex[:8]}"
-        (
-            self._cluster_sorted(out.repartition(new_n, self.keys[0]))
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(os.path.join(self.path, "data", dirname))
+        self._write(out.repartition(new_n, self.keys[0])).parquet(
+            os.path.join(self.path, "data", dirname)
         )
         new_files = self._list_epoch_files(dirname)
         self._commit(
