@@ -1125,3 +1125,74 @@ FROM lbls l JOIN szs s USING (cluster_id)
 REGISTRY_TRAINDATA.update({
     "docs_dedup_clusters": (q_docs_dedup_clusters, SQL_DOCS_DEDUP_CLUSTERS),
 })
+
+
+# ==================================================== curation pipeline
+
+def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation DAG in one query — the composition a
+    training-data pipeline actually runs, wired from the catalog's own
+    operators: quality gate (q_docs_quality's keep flag) → near-dup
+    removal keeping only each cluster's canonical doc
+    (q_docs_dedup_clusters) → deterministic split assignment
+    (q_docs_split_assign) → per-(split, lang) corpus accounting.
+
+    Scale shape: three key-partitioned joins on doc_id (co-partitioned
+    after the first shuffle; AQE coalesces), the CC iteration bounded
+    as documented on q_docs_dedup_clusters, and a final low-cardinality
+    aggregate. No step is quadratic and nothing collects to the driver.
+    """
+    quality = q_docs_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "keep"
+    )
+    canon = q_docs_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    split = q_docs_split_assign(spark, sf_dir).select("doc_id", "split")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = (
+        docs.join(quality, "doc_id")
+        .join(canon, "doc_id")
+        .join(split, "doc_id")
+        .filter(F.col("keep") & (F.col("is_canonical") == 1))
+    )
+    return kept.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+SQL_DOCS_CURATION = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_MINHASH}) q
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lbls AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+),
+kept AS (
+  SELECT d.doc_id, d.lang, q.n_tokens, s.split
+  FROM documents d
+  JOIN ({SQL_QUALITY}) q USING (doc_id)
+  JOIN lbls l USING (doc_id)
+  JOIN ({SQL_DOCS_SPLIT_ASSIGN}) s USING (doc_id)
+  WHERE q.keep AND d.doc_id = l.cluster_id
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY 1, 2
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "docs_curation_pipeline": (q_docs_curation_pipeline, SQL_DOCS_CURATION),
+})
