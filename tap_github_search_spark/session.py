@@ -33,6 +33,12 @@ def get_spark(
         # zstd lake files: ~40% smaller than snappy; trades cheap CPU
         # (which scales with executors) for I/O (which often doesn't).
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # int64-micros timestamps, not the legacy INT96 default: INT96
+        # columns carry NO min/max statistics, which would blind the
+        # per-file ts zone maps (read_between) and row-group pruning on
+        # time predicates. Iceberg mandates int64 timestamps for the
+        # same reason.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Don't write per-file .crc/_SUCCESS noise into the lake dirs.
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",

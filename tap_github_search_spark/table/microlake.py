@@ -208,10 +208,17 @@ class MicroLakeTable:
         disables; default 100k ≈ the per-bucket key count at the target
         bucket size). Iceberg exposes the identical knob as
         write.parquet.bloom-filter-enabled.column.*."""
-        w = self._cluster_sorted(df).write.mode("overwrite")
+        out = self._cluster_sorted(df)
+        renames = {
+            l: p for l, p in self._mapping().items()
+            if l in out.columns and l != p
+        }
+        if renames:  # files always carry PHYSICAL names (see _mapping)
+            out = out.withColumnsRenamed(renames)
+        w = out.write.mode("overwrite")
         ndv = int(os.environ.get("SPARK_GRAFT_BLOOM_NDV", "100000"))
         if ndv > 0:
-            k = self.keys[0]
+            k = self._physical(self.keys[0])
             w = (
                 w.option(f"parquet.bloom.filter.enabled#{k}", "true")
                 .option(f"parquet.bloom.filter.expected.ndv#{k}", str(ndv))
@@ -238,10 +245,20 @@ class MicroLakeTable:
         )
         if not files:
             return self.spark.createDataFrame([], meta_schema)
+        # files carry PHYSICAL column names; read physically, project
+        # back to logical (the column-mapping read path — rename is
+        # metadata-only, so this alias is the entire cost)
+        mapping = self._mapping()
+        phys_schema = T.StructType([
+            T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in meta_schema.fields
+        ])
         paths = [os.path.join(self.path, f["path"]) for f in files]
-        return (
-            self.spark.read.schema(meta_schema).parquet(*paths)
-            .select(*[f.name for f in meta_schema.fields])
+        return self.spark.read.schema(phys_schema).parquet(*paths).select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in meta_schema.fields
+            ]
         )
 
     def raw_df(self) -> DataFrame:
@@ -280,15 +297,101 @@ class MicroLakeTable:
         """Diff incoming payload columns against the table schema; returns
         the ADD COLUMN plan (applied at commit). Reference analog:
         discovered dynamic schema → catalog
-        (/root/reference/tap_github/organization_streams.py:912-1058)."""
+        (/root/reference/tap_github/organization_streams.py:912-1058).
+
+        With name-based column mapping (``rename_column`` /
+        ``drop_column``) a batch column whose name is a PHYSICAL name
+        still present in old data files must be rejected, not added:
+        auto-adding it would resurrect the old files' bytes under the
+        new logical column (renamed-away data reappearing, or a dropped
+        column coming back). Iceberg avoids this with field ids; a
+        name-mapped table has to refuse the collision and ask the
+        producer to pick a fresh name (stream_map rename upstream)."""
         existing = {f.name for f in self.schema.fields}
         skip = set(("op",) + LWW_ORDER) | set(META_COLS)
-        added = [
-            T.StructField(f.name, f.dataType, nullable=True)
-            for f in batch_schema.fields
-            if f.name not in existing and f.name not in skip
-        ]
+        mapping = self.manifest.get("renames", {})
+        shadowed = set(mapping.values()) | set(
+            self.manifest.get("dropped_physical", [])
+        )
+        added = []
+        for f in batch_schema.fields:
+            if f.name in existing or f.name in skip:
+                continue
+            if f.name in shadowed:
+                raise ValueError(
+                    f"batch column '{f.name}' collides with a physical "
+                    "column name still present in old data files "
+                    "(renamed or dropped); re-adding it would resurrect "
+                    "old data — rename it upstream"
+                )
+            added.append(T.StructField(f.name, f.dataType, nullable=True))
         return added
+
+    # -------------- column mapping (rename / drop, no rewrite) --------
+
+    def _mapping(self) -> dict:
+        """logical → physical column-name map (identity when absent).
+        Physical = the name a column's bytes carry inside data files;
+        it never changes after first write, so rename/drop are
+        metadata-only commits — no data rewrite (Iceberg's schema
+        evolution contract, minus field-ids: name collisions with
+        shadowed physicals are refused instead, see _evolve_schema)."""
+        return self.manifest.get("renames", {})
+
+    def _physical(self, logical: str) -> str:
+        return self._mapping().get(logical, logical)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN as a metadata-only commit: the
+        logical schema changes, the physical name in every existing
+        (and future) data file stays, reads alias physical→logical."""
+        protected = set(self.keys) | set(("op",) + LWW_ORDER) | set(META_COLS)
+        names = [f.name for f in self.schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if old in protected:
+            raise ValueError(f"cannot rename key/ordering column: {old}")
+        used_physical = {self._physical(n) for n in names} | set(
+            self.manifest.get("dropped_physical", [])
+        )
+        if new in names or new in used_physical:
+            raise ValueError(f"column name in use (logical or physical): {new}")
+        mapping = dict(self._mapping())
+        phys = mapping.pop(old, old)
+        if phys != new:
+            mapping[new] = phys
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in self.schema.fields
+        ]
+        self._commit(
+            self.last_committed_epoch, self.manifest["files"], [],
+            metrics=None, evolved_schema=T.StructType(fields),
+            extra={"renames": mapping},
+        )
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN, metadata-only: the column leaves
+        the logical schema; its physical bytes stay in old files and
+        are never projected again. The physical name is tombstoned so
+        a later ADD COLUMN cannot resurrect the stale bytes."""
+        protected = set(self.keys) | set(("op",) + LWW_ORDER) | set(META_COLS)
+        names = [f.name for f in self.schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name}")
+        if name in protected:
+            raise ValueError(f"cannot drop key/ordering column: {name}")
+        mapping = dict(self._mapping())
+        phys = mapping.pop(name, name)
+        dropped = list(self.manifest.get("dropped_physical", []))
+        if phys not in dropped:
+            dropped.append(phys)
+        fields = [f for f in self.schema.fields if f.name != name]
+        self._commit(
+            self.last_committed_epoch, self.manifest["files"], [],
+            metrics=None, evolved_schema=T.StructType(fields),
+            extra={"renames": mapping, "dropped_physical": dropped},
+        )
 
     # ---------------- MERGE ----------------
 
@@ -730,7 +833,10 @@ class MicroLakeTable:
         )
         total_bytes = 0
         for f in files:
-            try:
+            if "bytes" in f:  # recorded at commit from the footer read
+                total_bytes += f["bytes"]
+                continue
+            try:  # pre-stats manifests: stat on demand
                 total_bytes += os.path.getsize(
                     os.path.join(self.path, f["path"])
                 )
@@ -777,24 +883,96 @@ class MicroLakeTable:
                 )
         return report
 
+    def stats(self) -> dict:
+        """Table-level statistics from the manifest's per-file entries
+        alone — zero data scan, zero Spark jobs (Iceberg's snapshot
+        summary). ``total_rows`` counts physical rows incl. tombstones
+        and unresolved MOR generations; it is the scan-cost input for a
+        cost-based planner, not the live-row count (that requires the
+        LWW resolve ``snapshot_df().count()`` performs)."""
+        files = self.manifest["files"]
+        per_bucket: dict[int, int] = {}
+        for f in files:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        return {
+            "version": self.manifest["version"],
+            "last_committed_epoch": self.last_committed_epoch,
+            "n_buckets": self.n_buckets,
+            "n_files": len(files),
+            "buckets_with_data": len(per_bucket),
+            "max_generations": max(per_bucket.values(), default=0),
+            "total_rows": sum(f.get("rows", 0) for f in files),
+            "total_bytes": sum(f.get("bytes", 0) for f in files),
+            "read_dedup": bool(self.manifest.get("read_dedup")),
+        }
+
+    def read_between(self, ts_min, ts_max) -> DataFrame:
+        """Time-ranged snapshot read with file-level ``ts`` zone-map
+        pruning: live rows whose ``ts`` falls in [ts_min, ts_max].
+
+        On a fully-resolved table (no pending MOR generations) every
+        key has exactly one physical row, so a file whose footer
+        [ts_min, ts_max] interval misses the window provably holds no
+        qualifying rows and is skipped before the scan — the
+        replication-window read pattern ("what changed this hour") at
+        file cost proportional to the window, not the table. When
+        ``read_dedup`` is set, a key's WINNING row may live in a file
+        the window would prune while a losing (older) row is inside it
+        — pruning first would resurrect losers, so the LWW resolve runs
+        over all generations and only the row filter applies.
+        """
+        from datetime import datetime, timezone
+
+        def _norm(x) -> datetime:
+            # naive UTC everywhere: zone strings may carry +00:00 (the
+            # parquet isAdjustedToUTC instant), callers may pass naive
+            if isinstance(x, str):
+                x = datetime.fromisoformat(x)
+            if x.tzinfo is not None:
+                x = x.astimezone(timezone.utc).replace(tzinfo=None)
+            return x
+
+        lo, hi = _norm(ts_min), _norm(ts_max)
+        files = self.manifest["files"]
+        if not self.manifest.get("read_dedup"):
+            files = [
+                f for f in files
+                if "ts_min" not in f
+                or not (_norm(f["ts_max"]) < lo or _norm(f["ts_min"]) > hi)
+            ]
+        df = self._read_files(files)
+        if self.manifest.get("read_dedup"):
+            df = self._read_lww(df)
+        return (
+            df.filter(~F.col("_deleted"))
+            .filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+            .select(*[f.name for f in self.schema.fields])
+        )
+
     # ---------------- commit machinery ----------------
 
-    def _key_zone(self, abspath: str) -> tuple[str, str] | None:
-        """Primary-key (min, max) from the parquet FOOTER statistics —
-        a KB-sized read per new file at commit time, O(epoch files) on
-        the driver (Iceberg's add_files collects the same stats into
-        its manifests). Returns None when stats are absent; pruning
-        then degrades gracefully to bucket-only. parquet-mr truncates
-        long string stats with a proper upper-bound increment, so the
-        interval stays a valid cover."""
+    def _file_stats(self, abspath: str) -> dict:
+        """Per-file stats from the parquet FOOTER — a KB-sized read per
+        new file at commit time, O(epoch files) on the driver (Iceberg's
+        add_files collects the same stats into its manifests): row
+        count, byte size, and (min, max) zones for the primary key and
+        the ``ts`` ordering column. Zone keys are omitted when stats
+        are absent; pruning then degrades gracefully to bucket-only.
+        parquet-mr truncates long string stats with a proper
+        upper-bound increment, so the interval stays a valid cover."""
+        out: dict = {}
         try:
-            import pyarrow.parquet as pq
+            out["bytes"] = os.path.getsize(abspath)
+        except OSError:
+            pass
 
-            md = pq.ParquetFile(abspath).metadata
+        def _zone(md, col: str) -> tuple | None:
             idx = next(
-                i for i in range(md.num_columns)
-                if md.schema.column(i).name == self.keys[0]
+                (i for i in range(md.num_columns)
+                 if md.schema.column(i).name == col), None
             )
+            if idx is None:
+                return None
             lo = hi = None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
@@ -807,11 +985,24 @@ class MicroLakeTable:
                     mx = mx.decode("utf-8", "replace")
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
-            if lo is None:
-                return None
-            return str(lo), str(hi)
-        except (StopIteration, OSError, ImportError):
-            return None
+            return None if lo is None else (lo, hi)
+
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(abspath).metadata
+            out["rows"] = md.num_rows
+            kz = _zone(md, self._physical(self.keys[0]))
+            if kz is not None:
+                out["key_min"], out["key_max"] = str(kz[0]), str(kz[1])
+            tz = _zone(md, self._physical("ts"))
+            if tz is not None:
+                # datetime → ISO strings, JSON-stable and ordered
+                out["ts_min"] = tz[0].isoformat()
+                out["ts_max"] = tz[1].isoformat()
+        except (OSError, ImportError, AttributeError):
+            pass
+        return out
 
     def _list_epoch_files(self, dirname: str) -> list[dict]:
         epoch_dir = os.path.join(self.path, "data", dirname)
@@ -828,11 +1019,9 @@ class MicroLakeTable:
                         "path": os.path.join("data", dirname, bdir, fn),
                         "bucket": bucket,
                     }
-                    zone = self._key_zone(
-                        os.path.join(epoch_dir, bdir, fn)
+                    entry.update(
+                        self._file_stats(os.path.join(epoch_dir, bdir, fn))
                     )
-                    if zone is not None:
-                        entry["key_min"], entry["key_max"] = zone
                     out.append(entry)
         return out
 

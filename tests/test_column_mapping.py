@@ -1,0 +1,117 @@
+"""Column rename/drop via name mapping — metadata-only schema
+evolution (no data rewrite), with resurrection guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_github_search_spark.streaming.job import replay
+from tap_github_search_spark.table.microlake import MicroLakeTable
+from tests.test_engine import _events
+
+
+def _seed(spark, tmp_dir):
+    rows = [(i, "I", f"c{i}", 0, 10 + i) for i in range(8)]
+    _events(spark, rows).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=2)
+    return table
+
+
+def test_rename_is_metadata_only_and_reads_old_files(spark, tmp_dir):
+    table = _seed(spark, tmp_dir)
+    files_before = {f["path"] for f in table.manifest["files"]}
+    old_vals = {r["conv_id"]: r["text"]
+                for r in table.snapshot_df().collect()}
+
+    table.rename_column("text", "body")
+    t2 = MicroLakeTable.load(spark, table.path)
+    names = [f.name for f in t2.schema.fields]
+    assert "body" in names and "text" not in names
+    assert {f["path"] for f in t2.manifest["files"]} == files_before  # no rewrite
+    got = {r["conv_id"]: r["body"] for r in t2.snapshot_df().collect()}
+    assert got == old_vals
+
+    # merges keep working: batch arrives with the NEW logical name,
+    # files keep the old physical name underneath
+    batch = _events(spark, [(100, "U", "c0", 0, 100, "updated")]) \
+        .withColumnRenamed("text", "body")
+    t2.merge(batch, epoch=1)
+    t3 = MicroLakeTable.load(spark, table.path)
+    assert t3.snapshot_df().filter("conv_id='c0'").first()["body"] == "updated"
+    # physical layout check: the new epoch's file carries 'text'
+    import pyarrow.parquet as pq
+    import os
+    new_files = [f["path"] for f in t3.manifest["files"]
+                 if f["path"] not in files_before]
+    assert new_files
+    cols = pq.ParquetFile(os.path.join(t3.path, new_files[0])).schema.names
+    assert "text" in cols and "body" not in cols
+
+    # lookup and point reads still resolve through the mapping
+    assert t3.lookup("c0").first()["body"] == "updated"
+
+
+def test_rename_guards(spark, tmp_dir):
+    table = _seed(spark, tmp_dir)
+    with pytest.raises(ValueError):
+        table.rename_column("conv_id", "cid")  # key
+    with pytest.raises(ValueError):
+        table.rename_column("ts", "event_ts")  # LWW ordering
+    with pytest.raises(ValueError):
+        table.rename_column("nope", "x")
+    table.rename_column("text", "body")
+    with pytest.raises(ValueError):
+        # 'text' is still a physical name in old files — taking it as a
+        # logical name again would resurrect stale bytes
+        table.rename_column("body", "text")
+    # an old-schema producer still sending 'text' is refused, not added
+    with pytest.raises(ValueError):
+        table.merge(_events(spark, [(200, "U", "c1", 0, 200, "boom")]),
+                    epoch=2)
+
+
+def test_drop_column_and_resurrection_guard(spark, tmp_dir):
+    table = _seed(spark, tmp_dir)
+    files_before = {f["path"] for f in table.manifest["files"]}
+    table.drop_column("tool")
+    t2 = MicroLakeTable.load(spark, table.path)
+    assert "tool" not in [f.name for f in t2.schema.fields]
+    assert {f["path"] for f in t2.manifest["files"]} == files_before
+    assert t2.snapshot_df().count() == 8
+
+    with pytest.raises(ValueError):  # batch still carrying 'tool'
+        t2.merge(_events(spark, [(300, "U", "c2", 0, 300)]), epoch=1)
+    ok = _events(spark, [(300, "U", "c2", 0, 300, "fine")]).drop("tool")
+    t2.merge(ok, epoch=1)
+    assert MicroLakeTable.load(spark, table.path).snapshot_df() \
+        .filter("conv_id='c2'").first()["text"] == "fine"
+    with pytest.raises(ValueError):
+        t2.drop_column("turn_idx")  # key
+
+
+def test_rename_then_mor_and_compact_roundtrip(spark, tmp_dir):
+    """Mapping must survive the whole maintenance lifecycle: MOR
+    generations, LWW resolve, compaction rewrite."""
+    table = _seed(spark, tmp_dir)
+    table.rename_column("text", "body")
+    t = MicroLakeTable.load(spark, table.path)
+    upd = _events(spark, [(500 + i, "U", f"c{i}", 0, 500 + i, f"v2-{i}")
+                          for i in range(8)]).withColumnRenamed("text", "body")
+    t.merge(upd, epoch=1, merge_mode="mor")
+    t2 = MicroLakeTable.load(spark, table.path)
+    assert t2.manifest.get("read_dedup")
+    assert {r["body"] for r in t2.snapshot_df().collect()} == \
+        {f"v2-{i}" for i in range(8)}
+    t2.compact()
+    t3 = MicroLakeTable.load(spark, table.path)
+    assert not t3.manifest.get("read_dedup")
+    assert {r["body"] for r in t3.snapshot_df().collect()} == \
+        {f"v2-{i}" for i in range(8)}
+    # compacted files still carry the physical name
+    import pyarrow.parquet as pq
+    import os
+    cols = pq.ParquetFile(
+        os.path.join(t3.path, t3.manifest["files"][0]["path"])
+    ).schema.names
+    assert "text" in cols and "body" not in cols

@@ -105,3 +105,80 @@ def test_parquet_native_bloom_filter_written(spark, tmp_dir, monkeypatch):
     a = MicroLakeTable.load(spark, f"{tmp_dir}/t_off").snapshot_df()
     b = MicroLakeTable.load(spark, f"{tmp_dir}/t_on").snapshot_df()
     assert a.orderBy("conv_id").collect() == b.orderBy("conv_id").collect()
+
+
+def test_stats_reports_manifest_numbers(spark, tmp_dir):
+    table = _seed(spark, tmp_dir)
+    s = table.stats()
+    assert s["n_buckets"] == 2 and s["n_files"] >= 1
+    assert s["total_rows"] == 40  # footer num_rows, recorded at commit
+    assert s["total_bytes"] > 0 and not s["read_dedup"]
+    table.merge(_events(spark, [(99, "U", "c0", 0, 99)]), epoch=1,
+                merge_mode="mor")
+    s2 = MicroLakeTable.load(spark, table.path).stats()
+    assert s2["max_generations"] == 2 and s2["read_dedup"]
+    assert s2["total_rows"] == 41  # physical rows incl. the MOR loser
+
+
+def test_read_between_prunes_files_by_ts_zone(spark, tmp_dir):
+    """Two epochs with disjoint ts windows land in different files; a
+    window over the second epoch's range must not read the first
+    epoch's files — and must return exactly the oracle rows."""
+    from tap_github_search_spark.table.microlake import murmur3_x86_32
+
+    # keys chosen so the two epochs land in DISJOINT buckets — a CoW
+    # rewrite of an overlapping bucket would merge both ts ranges into
+    # one file and (correctly) defeat the pruning this test asserts
+    def pick(bucket, n):
+        out, i = [], 0
+        while len(out) < n:
+            k = f"k{i:04d}"
+            if murmur3_x86_32(k.encode()) % 2 == bucket:
+                out.append(k)
+            i += 1
+        return out
+
+    a_keys, b_keys = pick(0, 10), pick(1, 10)
+    e0 = [(i, "I", a_keys[i], 0, 100 + i) for i in range(10)]
+    e1 = [(50 + i, "I", b_keys[i], 0, 50_000 + i) for i in range(10)]
+    _events(spark, e0).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=2)
+    table.merge(_events(spark, e1), epoch=1)
+
+    t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    from tests.test_engine import _ts
+
+    df = t.read_between(_ts(50_000), _ts(60_000))
+    got = {r["conv_id"] for r in df.collect()}
+    assert got == set(b_keys)
+    read = {os.path.relpath(p.replace("file:", ""), t.path)
+            for p in df.inputFiles()}
+    outside = {f["path"] for f in t.manifest["files"]
+               if _norm_iso(f["ts_max"]) < _norm_iso("2025-01-01T13:00:00")}
+    # epoch-0 files (ts ≈ 100s) all end before the window start
+    assert outside and not (read & outside)
+
+    # boundary inclusive on both ends
+    one = t.read_between(_ts(100), _ts(100))
+    assert {r["conv_id"] for r in one.collect()} == {a_keys[0]}
+
+    # MOR generations: winner outside the naive per-file window must
+    # still shadow an in-window loser — pruning is disabled, result
+    # stays LWW-correct
+    table.merge(_events(spark, [(90, "U", a_keys[0], 0, 70_000, "late")]),
+                epoch=2, merge_mode="mor")
+    t2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert t2.manifest.get("read_dedup")
+    again = t2.read_between(_ts(50), _ts(200))
+    got2 = {r["conv_id"] for r in again.collect()}
+    assert a_keys[0] not in got2  # its winner now lives at ts=70000
+    assert got2 == set(a_keys[1:])
+
+
+def _norm_iso(s):
+    from datetime import datetime, timezone
+
+    x = datetime.fromisoformat(s)
+    if x.tzinfo is not None:
+        x = x.astimezone(timezone.utc).replace(tzinfo=None)
+    return x
