@@ -161,6 +161,28 @@ def changelog_sql(table: str, start_snapshot: int, end_snapshot: int,
     )
 
 
+def rename_column_sql(table: str, old: str, new: str) -> str:
+    """Metadata-only rename — the Iceberg twin of
+    ``MicroLakeTable.rename_column``. Iceberg resolves it via field
+    ids, so no resurrection guard is needed on the cluster path; the
+    name-mapped MicroLake enforces one instead (`_evolve_schema`)."""
+    return f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}"
+
+
+def drop_column_sql(table: str, name: str) -> str:
+    """Metadata-only drop — ``MicroLakeTable.drop_column`` twin."""
+    return f"ALTER TABLE {table} DROP COLUMN {name}"
+
+
+def maintain_sql(table: str, keep_versions: int = 8,
+                 grace_hours: int = 1, catalog: str = "lake") -> list[str]:
+    """The scheduled maintenance batch ``optimize()`` models: rewrite
+    small/multi-generation files, then expire + deorphan."""
+    return [compact_sql(table, catalog)] + vacuum_sql(
+        table, keep_versions, grace_hours, catalog
+    )
+
+
 def set_epoch_sql(table: str, epoch: int) -> str:
     return (
         f"ALTER TABLE {table} SET TBLPROPERTIES "

@@ -94,3 +94,21 @@ def test_maintenance_sql_vacuum_grace_and_changelog():
     c = changelog_sql("lake.db.t", 11, 42)
     assert "'start-snapshot-id', '11'" in c
     assert "'end-snapshot-id', '42'" in c
+
+
+def test_rename_drop_maintain_sql_twins():
+    from tap_github_search_spark.table.iceberg import (
+        drop_column_sql,
+        maintain_sql,
+        rename_column_sql,
+    )
+
+    assert rename_column_sql("lake.db.t", "text", "body") == \
+        "ALTER TABLE lake.db.t RENAME COLUMN text TO body"
+    assert drop_column_sql("lake.db.t", "tool") == \
+        "ALTER TABLE lake.db.t DROP COLUMN tool"
+    stmts = maintain_sql("lake.db.t", keep_versions=4, grace_hours=2)
+    assert len(stmts) == 3
+    assert "rewrite_data_files" in stmts[0]
+    assert "retain_last => 4" in stmts[1]
+    assert "INTERVAL 2 HOURS" in stmts[2]
