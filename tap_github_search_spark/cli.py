@@ -54,7 +54,8 @@ import sys
 REQUIRED_CONFIG_KEYS = {"mode", "log_dirs", "table"}
 VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
     "checkpoint", "buckets", "merge_mode", "dedup", "rollup_path",
-    "daily_rollup_path", "compact_every", "max_payload_bytes",
+    "daily_rollup_path", "compact_every", "optimize_every",
+    "optimize_opts", "max_payload_bytes",
     "stream_map", "epochs", "follow", "cores",
 }
 
@@ -254,12 +255,16 @@ def main(argv: list[str] | None = None) -> int:
         args.rollup_path = cfg.get("rollup_path")
         args.daily_rollup_path = cfg.get("daily_rollup_path")
         args.compact_every = cfg.get("compact_every")
+        args.optimize_every = cfg.get("optimize_every")
+        args.optimize_opts = cfg.get("optimize_opts")
         args.max_payload_bytes = cfg.get("max_payload_bytes")
         args.stream_map = cfg.get("stream_map")
     else:
         args.merge_mode, args.dedup, args.rollup_path = "cow", "window", None
         args.daily_rollup_path = None
         args.compact_every = None
+        args.optimize_every = None
+        args.optimize_opts = None
         args.max_payload_bytes = None
         args.stream_map = None
 
@@ -344,6 +349,8 @@ def main(argv: list[str] | None = None) -> int:
         rollup_path=args.rollup_path,
         daily_rollup_path=args.daily_rollup_path,
         compact_every=args.compact_every,
+        optimize_every=args.optimize_every,
+        optimize_opts=args.optimize_opts,
         max_payload_bytes=args.max_payload_bytes,
         stream_map=args.stream_map,
     )

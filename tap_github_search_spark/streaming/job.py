@@ -191,6 +191,8 @@ def stream(
     daily_rollup_path: str | None = None,
     weekly_rollup_path: str | None = None,
     compact_every: int | None = None,
+    optimize_every: int | None = None,
+    optimize_opts: dict | None = None,
     max_payload_bytes: int | None = None,
     stream_map: dict | None = None,
 ):
@@ -255,6 +257,13 @@ def stream(
         if (compact_every and not res.skipped
                 and (batch_id + 1) % compact_every == 0):
             table.compact()
+        if (optimize_every and not res.skipped
+                and (batch_id + 1) % optimize_every == 0):
+            # the full policy loop riding the stream (compaction on
+            # pileup, rebucket on growth, snapshot expiry) — each
+            # action is its own snapshot-isolated commit, so a crash
+            # mid-maintenance replays as no-ops
+            table.optimize(**(optimize_opts or {}))
         if maintainer is not None:
             # Derived levels ride the same epoch, fenced independently.
             # Crucially they must ALSO run when the parent skipped (crash

@@ -252,3 +252,35 @@ def test_metrics_segment_spill(spark, tmp_dir, monkeypatch):
     # reload from disk sees the same
     t2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
     assert len(t2.metrics_df().toPandas()) == 7
+
+
+def test_stream_optimize_every_runs_policy_in_stream(spark, tmp_dir):
+    """optimize_every rides the stream like compact_every, but runs the
+    full policy: MOR pileup folds, snapshots expire, final state exact.
+    A restart replays as fenced no-ops."""
+    from tests.test_engine import _assert_table_equals_oracle
+
+    write_changelog(spark, f"{tmp_dir}/log", 150, n_files=8, delete_pct=20)
+    table = stream(
+        spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+        n_buckets=8, max_files_per_trigger=2, merge_mode="mor",
+        optimize_every=2,
+        optimize_opts={"max_generations": 1, "keep_versions": 2,
+                       "grace_seconds": 0.0},
+    )
+    _assert_table_equals_oracle(table, f"'{tmp_dir}/log/*.parquet'")
+    per_bucket: dict[int, int] = {}
+    for f in table.manifest["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert max(per_bucket.values()) <= 2
+    import os
+    mdir = os.path.join(table.path, "_manifests")
+    n_manifests = sum(1 for x in os.listdir(mdir)
+                      if x.startswith("manifest-"))
+    assert n_manifests <= 4  # expiry ran mid-stream
+
+    t2 = stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+                merge_mode="mor", optimize_every=2,
+                optimize_opts={"max_generations": 1, "keep_versions": 2,
+                               "grace_seconds": 0.0})
+    _assert_table_equals_oracle(t2, f"'{tmp_dir}/log/*.parquet'")
