@@ -1196,3 +1196,163 @@ FROM kept GROUP BY 1, 2
 REGISTRY_TRAINDATA.update({
     "docs_curation_pipeline": (q_docs_curation_pipeline, SQL_DOCS_CURATION),
 })
+
+
+# ================================================ embedding quantization
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving compression step an embedding corpus at 100 TB
+    needs (4 bytes/dim → 1): per-vector scale = max|x|/127, quantize
+    with engine-identical half-up rounding (floor(x/scale + 0.5) — same
+    result in Spark and DuckDB, unlike round()'s HALF_UP-vs-banker's
+    divergence), reconstruct, report the error profile. All codegen'd
+    higher-order array expressions; narrow map, no shuffle. The
+    sequential fold (F.aggregate / list_reduce) keeps double addition
+    order identical cross-engine, so the oracle matches bit-for-bit
+    before the final rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    df = df.withColumn(
+        "scale",
+        F.array_max(F.transform("v", F.abs)) / F.lit(127.0),
+    )
+    df = df.withColumn(
+        "q",
+        F.transform(
+            "v",
+            lambda x: F.floor(x / F.nullif(F.col("scale"), F.lit(0.0))
+                              + F.lit(0.5)),
+        ),
+    )
+    df = df.withColumn(
+        "err",
+        F.zip_with("v", "q", lambda x, qq: F.abs(x - qq * F.col("scale"))),
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max("err"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("err", F.lit(0.0), lambda a, x: a + x)
+            / F.size("err"),
+            6,
+        ).alias("mean_abs_err"),
+    )
+
+
+SQL_EMB_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+e AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> abs(x - floor(x / nullif(scale, 0.0) + 0.5)
+                                    * scale)) AS err
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(list_max(err), 6) AS max_abs_err,
+       round(list_reduce(err, (a, b) -> a + b) / len(err), 6)
+         AS mean_abs_err
+FROM e
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE),
+})
+
+
+# ==================================================== sequence packing
+
+#: bin capacity (tokens) and shard count for greedy sequence packing
+PACK_CAPACITY = 48
+PACK_SHARDS = 16
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence PACKING — fill fixed-capacity training rows with
+    consecutive chunks (short tails packed together instead of padded),
+    the step after chunking in a pretraining data pipeline. The fill
+    recurrence (keep the bin if the chunk fits, else open the next) is
+    inherently sequential, so it runs per SHARD: chunks are
+    hash-sharded by doc_id, ordered (doc_id, chunk_idx) within shard,
+    and an Arrow-batched applyInPandas walks each shard's stream — the
+    canonical custom-stateful-operator shape (§2.12); parallelism =
+    shard count (PACK_SHARDS here; thousands at 100 TB), driver never
+    sees a row. Oracle: a per-shard recursive CTE replays the same
+    recurrence in DuckDB.
+    """
+    import pandas as pd
+
+    chunks = q_docs_chunk_tokens(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "n_tokens"
+    )
+    chunks = chunks.withColumn(
+        "shard", (F.col("doc_id") % PACK_SHARDS).cast("int")
+    )
+
+    out_schema = ("doc_id bigint, chunk_idx int, shard int, "
+                  "bin_id int, n_tokens bigint")
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        bins = []
+        fill, b = 0, 0
+        for tok in pdf["n_tokens"]:
+            if b > 0 and fill + tok <= PACK_CAPACITY:
+                fill += tok
+            else:
+                b += 1
+                fill = tok
+            bins.append(b)
+        pdf["bin_id"] = pd.Series(bins, dtype="int32")
+        return pdf[["doc_id", "chunk_idx", "shard", "bin_id", "n_tokens"]]
+
+    return chunks.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+SQL_DOCS_PACK = f"""
+WITH RECURSIVE chunks AS (
+  SELECT doc_id, chunk_idx, n_tokens FROM ({SQL_DOCS_CHUNK_TOKENS}) q
+),
+sh AS (
+  SELECT doc_id, chunk_idx,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard, n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+rec AS (
+  SELECT shard, rn, doc_id, chunk_idx, n_tokens,
+         1 AS bin_id, n_tokens AS fill
+  FROM sh WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.chunk_idx, s.n_tokens,
+         CASE WHEN r.fill + s.n_tokens <= {PACK_CAPACITY}
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + s.n_tokens <= {PACK_CAPACITY}
+              THEN r.fill + s.n_tokens ELSE s.n_tokens END
+  FROM rec r JOIN sh s ON s.shard = r.shard AND s.rn = r.rn + 1
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, shard,
+       CAST(bin_id AS INT) AS bin_id, n_tokens
+FROM rec
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "docs_pack_sequences": (q_docs_pack_sequences, SQL_DOCS_PACK),
+})
