@@ -82,6 +82,34 @@ def _hw_baselines(levels=(8, 32)) -> dict:
     return out
 
 
+def _memcpy_gbps(procs: int = 8) -> float:
+    """Aggregate streaming-copy bandwidth at ``procs`` workers — the
+    throttle gate (same measurement as BENCH/BASELINE.md §2; healthy
+    box ≈ 40 GB/s at 8 procs, throttled sessions have measured 1-10)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q, n):
+        a = np.ones(n, dtype=np.int64)
+        b = np.empty_like(a)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            np.copyto(b, a)
+        q.put(10 * a.nbytes / (time.perf_counter() - t0))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=worker, args=(q, 32_000_000))
+          for _ in range(procs)]
+    for p in ps:
+        p.start()
+    rates = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(rates) / 1e9
+
+
 def _bench_queries():
     from tap_github_search_spark.plans.queries import REGISTRY
 
@@ -265,6 +293,14 @@ def main() -> None:
                     "sustained_n_events": r["sustained_n_events"],
                     "sustained_events_per_sec": r["sustained_events_per_sec"],
                     "cpus": cpus,
+                    # contemporaneous memory-bandwidth gate: this VM's
+                    # DRAM throughput swings 4-40× between sessions
+                    # (noisy neighbors, BENCH/BASELINE.md §2/§4) and
+                    # engine throughput tracks it ~proportionally.
+                    # Recording it INSIDE the bench output lets any
+                    # BENCH_r{N}.json be read against its own ceiling
+                    # instead of a healthy-box baseline.
+                    "memcpy_gbps_8p": round(_memcpy_gbps(8), 1),
                 }
             )
         )
