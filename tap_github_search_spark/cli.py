@@ -137,6 +137,15 @@ def _parser() -> argparse.ArgumentParser:
     lk.add_argument("--turn", type=int, default=None,
                     help="secondary key (single --key only)")
 
+    fd = sub.add_parser(
+        "feed",
+        help="CDC-out: change rows between two snapshots as JSON lines",
+    )
+    fd.add_argument("--table", required=True, help="lake table path")
+    fd.add_argument("--from-version", type=int, required=True)
+    fd.add_argument("--to-version", type=int, default=None,
+                    help="defaults to the current snapshot")
+
     mt = sub.add_parser(
         "maintain",
         help="auto-maintenance: compact/rebucket/vacuum per policy",
@@ -153,7 +162,7 @@ def _parser() -> argparse.ArgumentParser:
     mt.add_argument("--dry-run", action="store_true",
                     help="report decisions without acting")
 
-    for q in (rp, st, gn, dc, lk, mt):
+    for q in (rp, st, gn, dc, lk, fd, mt):
         q.add_argument("--cores", type=int, default=None,
                        help="local[N] when no external master is set")
     return p
@@ -289,6 +298,18 @@ def main(argv: list[str] | None = None) -> int:
             df = table.lookup(args.key[0], turn_idx=args.turn)
         else:
             df = table.scan_keys(args.key)
+        for row in df.toJSON().collect():
+            print(row)
+        return 0
+
+    if args.mode == "feed":
+        # CDC-out end-to-end: the Singer RECORD re-emission loop as an
+        # operational command (incremental bucket-pruned diff when the
+        # interval allows, full-scan fallback across spec evolution)
+        from .table.microlake import MicroLakeTable
+
+        table = MicroLakeTable.load(spark, args.table)
+        df = table.change_feed(args.from_version, args.to_version)
         for row in df.toJSON().collect():
             print(row)
         return 0

@@ -193,3 +193,29 @@ def test_cli_maintain_reports_and_acts(spark, tmp_dir, capsys):
                "--max-generations", "1", "--keep-versions", "100"])
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and rep2["actions"] == []
+
+
+def test_cli_feed_emits_change_rows(spark, tmp_dir, capsys):
+    """`feed` exposes change_feed end-to-end: the rows between two
+    snapshot versions come back as JSON lines with change types."""
+    from tap_github_search_spark.streaming.job import replay
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+    from tests.test_engine import _events
+
+    rows = [(i, "I", f"c{i}", 0, 10 + i) for i in range(6)]
+    _events(spark, rows).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t", n_buckets=2)
+    v0 = table.manifest["version"]
+    table.merge(_events(spark, [(100, "U", "c0", 0, 100, "v2"),
+                                (101, "I", "c9", 0, 101),
+                                (102, "D", "c1", 0, 102)]), epoch=1)
+
+    rc = main(["feed", "--table", f"{tmp_dir}/t",
+               "--from-version", str(v0)])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+             if x.startswith("{")]
+    kinds = {(r["conv_id"], r["_change_type"]) for r in lines}
+    assert ("c9", "insert") in kinds
+    assert ("c1", "delete") in kinds
+    assert {k for k, t in kinds if k == "c0"} == {"c0"}  # update present
