@@ -1005,6 +1005,14 @@ class MicroLakeTable:
         return out
 
     def _list_epoch_files(self, dirname: str) -> list[dict]:
+        """Enumerate one epoch directory's data files and collect their
+        footer stats. The footer reads are KB-sized but O(epoch files)
+        on the driver — at 4096 buckets/epoch a sequential loop is
+        seconds of per-commit latency, so they run on a small thread
+        pool (I/O-bound, GIL released inside pyarrow). At larger file
+        counts Iceberg moves this into the executors (stats collected
+        by the writing task); ``SPARK_GRAFT_FILE_STATS=0`` drops the
+        collection entirely (pruning degrades to bucket-only)."""
         epoch_dir = os.path.join(self.path, "data", dirname)
         out: list[dict] = []
         if not os.path.isdir(epoch_dir):
@@ -1015,14 +1023,22 @@ class MicroLakeTable:
             bucket = int(bdir.split("=")[1])
             for fn in sorted(os.listdir(os.path.join(epoch_dir, bdir))):
                 if fn.endswith(".parquet"):
-                    entry = {
+                    out.append({
                         "path": os.path.join("data", dirname, bdir, fn),
                         "bucket": bucket,
-                    }
-                    entry.update(
-                        self._file_stats(os.path.join(epoch_dir, bdir, fn))
-                    )
-                    out.append(entry)
+                    })
+        if os.environ.get("SPARK_GRAFT_FILE_STATS", "1") != "0" and out:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(out))) as pool:
+                stats = list(pool.map(
+                    lambda e: self._file_stats(
+                        os.path.join(self.path, e["path"])
+                    ),
+                    out,
+                ))
+            for entry, st in zip(out, stats):
+                entry.update(st)
         return out
 
     @staticmethod
