@@ -1358,3 +1358,73 @@ REGISTRY.update({
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_rollup_sets": (q_events_rollup_sets, SQL_EVENTS_ROLLUP_SETS),
 })
+
+
+def q_conv_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts → supervised training pairs: one example per
+    assistant turn, with ``context`` = every prior turn rendered
+    "role: text" in turn order and ``target`` = the assistant text —
+    the assembly step that turns a replayed conversation table into
+    SFT rows. Built from the CDC winners (final_state), so it composes
+    with the engine's exactly-once replay: re-running after new epochs
+    yields the updated pairs.
+
+    Plan shape: ONE window over (conv_id, turn_idx) carrying an
+    array-of-struct accumulator; array_sort makes the context
+    order-deterministic regardless of shuffle arrival order. Scales as
+    a key-partitioned window — per-conversation state only, no
+    collect, no cross-conversation data movement."""
+    fs = final_state(_log(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", normalized("text").alias("text")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text")).over(w)
+    )
+    out = fs.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(
+            F.transform(prior, lambda t: F.concat_ws(": ", t["role"],
+                                                     t["text"])),
+            "\n",
+        ).alias("context"),
+        F.size(prior).alias("n_context_turns"),
+        F.col("role"),
+        F.col("text").alias("target"),
+    )
+    return out.filter(F.col("role") == "assistant").drop("role")
+
+
+SQL_CONV_TRAINING_EXAMPLES = f"""
+{_WINNERS_CTE},
+live AS (
+  SELECT conv_id, turn_idx, role, {_NORM} AS text
+  FROM winners WHERE op <> 'D'
+),
+ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(string_agg(role || ': ' || text, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '')
+           AS context,
+         CAST(count(*) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT)
+           AS n_context_turns
+  FROM live
+)
+SELECT conv_id, turn_idx, context, n_context_turns, text AS target
+FROM ctx WHERE role = 'assistant'
+"""
+
+
+REGISTRY.update({
+    "conv_training_examples": (
+        q_conv_training_examples, SQL_CONV_TRAINING_EXAMPLES
+    ),
+})
