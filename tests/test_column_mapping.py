@@ -115,3 +115,83 @@ def test_rename_then_mor_and_compact_roundtrip(spark, tmp_dir):
         os.path.join(t3.path, t3.manifest["files"][0]["path"])
     ).schema.names
     assert "text" in cols and "body" not in cols
+
+
+def test_mapping_random_interleaving_matches_pandas_model(spark, tmp_dir):
+    """Property: a random interleaving of merges, renames, and drops
+    must equal a driver-side pandas model of the same operations
+    (seeded, deterministic). Catches mapping bugs that only appear in
+    specific orders (rename→merge→rename, drop after rename, ...)."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(7)
+    table = _seed(spark, tmp_dir)
+    # model: conv_id -> {col: value}; cols tracked with logical names
+    model = {
+        r["conv_id"]: {"text": r["text"], "tool": r["tool"]}
+        for r in table.snapshot_df().collect()
+    }
+    logical = {"text": "text", "tool": "tool"}  # logical -> physical
+    epoch = 1
+    seq = 1000
+    for step in range(12):
+        op = rnd.choice(["merge", "merge", "rename", "drop"])
+        cols = list(logical)
+        if op == "rename" and cols:
+            old = rnd.choice(cols)
+            new = f"{old.split('_v')[0]}_v{step}"
+            table.rename_column(old, new)
+            logical[new] = logical.pop(old)
+            for v in model.values():
+                v[new] = v.pop(old)
+        elif op == "drop" and len(cols) > 1:
+            name = rnd.choice(cols)
+            table.drop_column(name)
+            logical.pop(name)
+            for v in model.values():
+                v.pop(name)
+        elif op == "merge":
+            k = f"c{rnd.randrange(8)}"
+            val = f"val{step}"
+            text_col = next(
+                (c for c in logical if c.startswith("text")), None)
+            batch = _events(spark, [(seq, "U", k, 0, 10_000 + step, val)])
+            keep = ["seq", "op", "conv_id", "turn_idx", "role", "ts"]
+            if text_col:
+                batch = batch.withColumnRenamed("text", text_col)
+                keep.append(text_col)
+            tool_col = next(
+                (c for c in logical if c.startswith("tool")), None)
+            if tool_col:
+                batch = batch.withColumnRenamed("tool", tool_col)
+                keep.append(tool_col)
+            table.merge(batch.select(*keep), epoch=epoch)
+            epoch += 1
+            seq += 1
+            if k in model:
+                if text_col:
+                    model[k][text_col] = val
+                if tool_col:
+                    model[k][tool_col] = None  # _events default tool
+            else:
+                model[k] = {}
+                if text_col:
+                    model[k][text_col] = val
+                if tool_col:
+                    model[k][tool_col] = None
+
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    t = MicroLakeTable.load(spark, table.path)
+    got = t.snapshot_df().toPandas().set_index("conv_id").sort_index()
+    assert sorted(logical) == sorted(
+        c for c in got.columns if c not in
+        ("conv_id", "turn_idx", "role", "ts")
+    )
+    for k, cols_model in sorted(model.items()):
+        for c, v in cols_model.items():
+            gv = got.loc[k, c]
+            gv = None if pd.isna(gv) else gv
+            assert gv == v, (k, c, gv, v)
