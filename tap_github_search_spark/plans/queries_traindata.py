@@ -1356,3 +1356,104 @@ FROM rec
 REGISTRY_TRAINDATA.update({
     "docs_pack_sequences": (q_docs_pack_sequences, SQL_DOCS_PACK),
 })
+
+
+# ============================================== vocabulary & sampling
+
+def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus-wide token counts → top-100
+    vocab ranked (count desc, token asc — fully deterministic under
+    ties) with cumulative corpus coverage. Plan: one explode + one
+    map-side-combinable count aggregate over the corpus, then rank and
+    windowed cumsum over only the K retained rows (the single-partition
+    window touches 100 rows, not the corpus) with the 1-row total
+    broadcast for the denominator. The tokenizer-fitting statistic a
+    BPE trainer starts from."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    topk = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("token"))
+            ).alias("rank"),
+            "token",
+            "n",
+            F.round(
+                F.sum("n").over(w).cast("double") / F.col("total"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+SQL_DOCS_VOCAB = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+total AS (SELECT sum(n) AS total FROM counts),
+topk AS (
+  SELECT token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+  FROM counts ORDER BY n DESC, token LIMIT 100
+)
+SELECT rank, token, n,
+       round((sum(n) OVER (ORDER BY rank))::DOUBLE
+             / (SELECT total FROM total), 6) AS coverage
+FROM topk
+"""
+
+
+#: per-language cap for the balanced sample
+BALANCE_CAP = 60
+
+
+def q_docs_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus sampling: cap every language at BALANCE_CAP docs,
+    choosing deterministically by md5(doc_id) rank within the language —
+    the down-sample-the-over-represented-stratum op every multilingual
+    corpus build runs, reproducible across reruns and cluster sizes
+    (unlike df.sample). One key-partitioned window; rank selection means
+    adding documents never evicts previously-selected ones arbitrarily
+    (stable under corpus growth within a language's existing docs)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    return (
+        docs.withColumn("lang_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("lang_rank") <= BALANCE_CAP)
+        .select("doc_id", "lang", "lang_rank")
+    )
+
+
+SQL_DOCS_BALANCED_SAMPLE = f"""
+SELECT doc_id, lang, CAST(lang_rank AS INT) AS lang_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS lang_rank
+  FROM documents
+) WHERE lang_rank <= {BALANCE_CAP}
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "docs_vocab_topk": (q_docs_vocab_topk, SQL_DOCS_VOCAB),
+    "docs_balanced_sample": (q_docs_balanced_sample, SQL_DOCS_BALANCED_SAMPLE),
+})
