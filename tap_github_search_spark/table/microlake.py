@@ -783,6 +783,7 @@ class MicroLakeTable:
         compact_batch: int = 64,
         keep_versions: int = 8,
         grace_seconds: float = 3600.0,
+        metadata_keep_epochs: int | None = None,
         dry_run: bool = False,
     ) -> dict:
         """Auto-maintenance policy: inspect manifest/layout stats and
@@ -881,7 +882,74 @@ class MicroLakeTable:
                     keep_versions=keep_versions,
                     grace_seconds=grace_seconds,
                 )
+        if metadata_keep_epochs is not None:
+            n_segs = len(self.manifest.get("lineage_segments", [])) + len(
+                self.manifest.get("metrics_segments", [])
+            )
+            if n_segs:
+                report["actions"].append(
+                    f"expire_metadata (keep {metadata_keep_epochs} epochs "
+                    f"over {n_segs} segments)"
+                )
+                if not dry_run:
+                    report["expired_segments"] = self.expire_metadata(
+                        metadata_keep_epochs
+                    )
         return report
+
+    def expire_metadata(self, keep_epochs: int) -> int:
+        """Metadata retention — the segment-file counterpart of
+        ``vacuum``: unreference and delete lineage/metrics SEGMENTS
+        whose every row is older than ``last_committed_epoch -
+        keep_epochs``. Without it the spill mechanism that keeps
+        commits O(buckets) grows the segment directory forever (tiny
+        files, but 10^5 epochs = thousands of them). Segments are
+        immutable and epoch-aligned, so expiry reads each candidate's
+        max epoch once, commits the shortened reference lists, then
+        deletes the files (commit-before-delete: a crash leaves orphan
+        segments, never dangling references). Retained OLD manifest
+        versions may still cite expired segments — time-traveled
+        ``lineage_df`` reads lose history beyond the retention window,
+        the same contract as Iceberg's metadata delete-after-commit.
+        Returns the number of segment files removed."""
+        cutoff = self.last_committed_epoch - keep_epochs
+        removed: list[str] = []
+        kept_refs: dict[str, list[str]] = {}
+        for kind in ("lineage", "metrics"):
+            kept = []
+            for rel in self.manifest.get(f"{kind}_segments", []):
+                try:
+                    with open(os.path.join(self.path, rel)) as f:
+                        rows = json.load(f)
+                    mx = max(
+                        (r["commit_epoch"] for r in rows), default=None
+                    )
+                except OSError:
+                    continue  # already gone: drop the reference too
+                if mx is not None and mx <= cutoff:
+                    removed.append(rel)
+                else:
+                    kept.append(rel)
+            kept_refs[kind] = kept
+        if not removed and all(
+            kept_refs[k] == self.manifest.get(f"{k}_segments", [])
+            for k in kept_refs
+        ):
+            return 0
+        self._commit(
+            self.last_committed_epoch, self.manifest["files"], [],
+            metrics=None,
+            extra={
+                "lineage_segments": kept_refs["lineage"],
+                "metrics_segments": kept_refs["metrics"],
+            },
+        )
+        for rel in removed:
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except OSError:
+                pass
+        return len(removed)
 
     def stats(self) -> dict:
         """Table-level statistics from the manifest's per-file entries
