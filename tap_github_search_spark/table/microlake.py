@@ -846,6 +846,12 @@ class MicroLakeTable:
         report["total_bytes"] = total_bytes
         per_bucket = total_bytes / max(1, self.n_buckets)
 
+        # Maintenance runs concurrently with ingest in production; every
+        # action commits via the manifest CAS, so a racing merge can win
+        # the version. Losing a race is NOT an error for a policy loop —
+        # record it and let the next scheduled run retry against the
+        # fresher snapshot (Iceberg's maintenance procedures behave the
+        # same way: commit conflict → retry later).
         want_rebucket = per_bucket > target_bucket_bytes
         if want_rebucket:
             new_n = self.n_buckets
@@ -856,8 +862,11 @@ class MicroLakeTable:
                 f"(avg bucket {int(per_bucket)} B > {target_bucket_bytes} B)"
             )
             if not dry_run:
-                self.rebucket(new_n)
-                report["rebucketed_to"] = new_n
+                try:
+                    self.rebucket(new_n)
+                    report["rebucketed_to"] = new_n
+                except ConcurrentCommitError:
+                    report["actions"].append("rebucket lost commit race")
         elif pileup:
             n = min(len(pileup), compact_batch)
             report["actions"].append(
@@ -865,9 +874,12 @@ class MicroLakeTable:
                 f"(>{max_generations} generations)"
             )
             if not dry_run:
-                report["compacted_buckets"] = self.compact(
-                    max_buckets=compact_batch
-                )
+                try:
+                    report["compacted_buckets"] = self.compact(
+                        max_buckets=compact_batch
+                    )
+                except ConcurrentCommitError:
+                    report["actions"].append("compact lost commit race")
 
         mdir = os.path.join(self.path, "_manifests")
         n_manifests = sum(

@@ -223,3 +223,27 @@ def test_expire_metadata_drops_old_segments(spark, tmp_dir, monkeypatch):
     rep = t2.optimize(keep_versions=1000, metadata_keep_epochs=0,
                       dry_run=True)
     assert any(a.startswith("expire_metadata") for a in rep["actions"])
+
+
+def test_optimize_tolerates_commit_race(spark, tmp_dir):
+    """A merge that wins the version between load and the maintenance
+    commit must not crash the policy loop: the action reports a lost
+    race and the next run (fresh load) succeeds."""
+    table = _seed(spark, tmp_dir)
+    table.merge(_events(spark, [(99, "U", "c0", 0, 99)]), epoch=1,
+                merge_mode="mor")
+    stale = MicroLakeTable.load(spark, table.path)
+    # another writer advances the table under stale's feet
+    table2 = MicroLakeTable.load(spark, table.path)
+    table2.merge(_events(spark, [(100, "U", "c1", 0, 100)]), epoch=2,
+                 merge_mode="mor")
+
+    rep = stale.optimize(max_generations=0, keep_versions=1000)
+    assert any("lost commit race" in a for a in rep["actions"])
+    assert rep["compacted_buckets"] == 0
+
+    fresh = MicroLakeTable.load(spark, table.path)
+    rep2 = fresh.optimize(max_generations=0, keep_versions=1000)
+    assert rep2["compacted_buckets"] > 0
+    assert not MicroLakeTable.load(spark, table.path) \
+        .manifest.get("read_dedup")
