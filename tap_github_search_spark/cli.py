@@ -55,7 +55,7 @@ REQUIRED_CONFIG_KEYS = {"mode", "log_dirs", "table"}
 VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
     "checkpoint", "buckets", "merge_mode", "dedup", "rollup_path",
     "daily_rollup_path", "compact_every", "optimize_every",
-    "optimize_opts", "max_payload_bytes",
+    "optimize_opts", "text_index_path", "max_payload_bytes",
     "stream_map", "epochs", "follow", "cores",
 }
 
@@ -266,6 +266,7 @@ def main(argv: list[str] | None = None) -> int:
         args.compact_every = cfg.get("compact_every")
         args.optimize_every = cfg.get("optimize_every")
         args.optimize_opts = cfg.get("optimize_opts")
+        args.text_index_path = cfg.get("text_index_path")
         args.max_payload_bytes = cfg.get("max_payload_bytes")
         args.stream_map = cfg.get("stream_map")
     else:
@@ -274,6 +275,7 @@ def main(argv: list[str] | None = None) -> int:
         args.compact_every = None
         args.optimize_every = None
         args.optimize_opts = None
+        args.text_index_path = None
         args.max_payload_bytes = None
         args.stream_map = None
 
@@ -372,6 +374,7 @@ def main(argv: list[str] | None = None) -> int:
         compact_every=args.compact_every,
         optimize_every=args.optimize_every,
         optimize_opts=args.optimize_opts,
+        text_index_path=args.text_index_path,
         max_payload_bytes=args.max_payload_bytes,
         stream_map=args.stream_map,
     )

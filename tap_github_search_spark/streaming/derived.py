@@ -194,9 +194,10 @@ class DerivedChain:
                  levels: list[tuple[LevelSpec, str]]):
         if not levels:
             raise ValueError("a derived chain needs at least one level")
-        if levels[0][0].key_expr is not None:
-            raise ValueError("level 1's key must be the parent merge key "
-                             "(key_expr=None)")
+        # level 1 MAY declare a key_expr: its key is then derived from
+        # main-table rows instead of being the merge key itself (e.g.
+        # the inverted text index, whose key_expr EXPLODES each turn
+        # into its tokens — one parent row dirtying many derived keys)
         if any(spec.key_expr is None for spec, _ in levels[1:]):
             raise ValueError("levels past the first need a key_expr")
         self.spark = spark
@@ -225,7 +226,9 @@ class DerivedChain:
             for d in os.listdir(data)
             if d.startswith(prefix) and "." not in d[len(prefix):]
         ]
-        key = self.specs[0].key
+        # always the MAIN table's merge key: a level-1 spec may key on a
+        # DERIVED expression (key_expr), which staged files don't carry
+        key = self.main.keys[0]
         return self.spark.read.parquet(*dirs).select(key).distinct()
 
     def _pre_epoch_version(self, table: MicroLakeTable,
@@ -281,9 +284,9 @@ class DerivedChain:
         affected = self.affected_root_keys(epoch)
         first: MergeResult | None = None
         parent: MicroLakeTable = self.main
-        parent_key = self.specs[0].key
+        parent_key = self.main.keys[0]
         for i, (spec, table) in enumerate(zip(self.specs, self.tables)):
-            if i > 0:
+            if spec.key_expr is not None:
                 affected = self._affected_keys(
                     parent, parent_key, spec, affected, epoch
                 )
@@ -335,6 +338,88 @@ class DerivedChain:
     @property
     def last_committed_epochs(self) -> list[int]:
         return [t.last_committed_epoch for t in self.tables]
+
+
+TEXT_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("n_convs", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("postings", T.ArrayType(T.StringType())),
+        T.StructField("ts", T.TimestampType()),     # epoch time (monotone)
+    ]
+)
+
+#: postings-list cap per token: stop-word-grade tokens would otherwise
+#: accumulate postings proportional to corpus size inside ONE row.
+#: Capped tokens keep exact n_convs/n_turns counts; membership beyond
+#: the cap falls back to scanning (documented recall bound, the same
+#: shape as MINHASH_BUCKET_CAP).
+POSTINGS_CAP = 10_000
+
+
+def _token_col() -> Column:
+    from ..functions.textops import tokens
+
+    return F.explode(F.array_distinct(tokens(F.lower(F.col("text")))))
+
+
+def text_index_level(n_buckets: int = 16) -> LevelSpec:
+    """The inverted-index level: token → (document frequency, postings).
+    This is the engine closing the loop on the reference's own domain —
+    tap-github-SEARCH materializes remote search results
+    (/root/reference/tap_github_search/search_count_streams.py:463-514);
+    here the search structure itself is a DERIVED TABLE the CDC stream
+    maintains incrementally: each epoch dirties only the tokens of the
+    turns it touched (old AND new text versions), those tokens'
+    postings are recomputed and MERGEd under the same fence as any
+    level. token-bucketed layout makes `search` a bucket-pruned point
+    lookup."""
+    return LevelSpec(
+        name="text_index", schema=TEXT_INDEX_SCHEMA, key="token",
+        transform=lambda df: df.groupBy("token").agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count("*").alias("n_turns"),
+            F.slice(
+                F.array_sort(F.collect_set("conv_id")), 1, POSTINGS_CAP
+            ).alias("postings"),
+        ),
+        key_expr=_token_col,
+        n_buckets=n_buckets,
+    )
+
+
+class TextIndexMaintainer:
+    """Incrementally-maintained inverted text index over the transcript
+    table (facade over a one-level ``DerivedChain``). Per epoch the
+    cost is: tokens of the touched turns (current + pre-epoch text) →
+    one scan of the main table exploded and semi-joined to those
+    affected tokens → per-token re-aggregation. The explode-then-join
+    full scan is the exact-postings price; the delta alternative
+    (array-merge old postings) trades it for unbounded array edits and
+    loses the one-row-per-key LWW simplicity."""
+
+    def __init__(self, spark: SparkSession, main: MicroLakeTable,
+                 path: str, n_buckets: int = 16):
+        self.chain = DerivedChain(
+            spark, main, [(text_index_level(n_buckets), path)]
+        )
+
+    @property
+    def index(self) -> MicroLakeTable:
+        return self.chain.tables[0]
+
+    @property
+    def tables(self) -> list[MicroLakeTable]:
+        return self.chain.tables
+
+    def apply_epoch(self, epoch: int) -> MergeResult:
+        return self.chain.apply_epoch(epoch)
+
+    def search(self, token: str) -> DataFrame:
+        """Bucket-pruned point read of one token's index row (postings
+        + frequencies) — zero Spark jobs to locate the bucket."""
+        return self.index.lookup(token.lower())
 
 
 class RollupMaintainer:

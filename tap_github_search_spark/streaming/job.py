@@ -193,6 +193,7 @@ def stream(
     compact_every: int | None = None,
     optimize_every: int | None = None,
     optimize_opts: dict | None = None,
+    text_index_path: str | None = None,
     max_payload_bytes: int | None = None,
     stream_map: dict | None = None,
 ):
@@ -239,13 +240,20 @@ def stream(
     if stream_map is not None:
         src = apply_stream_map(src, stream_map)
 
-    maintainer = None
+    maintainers = []
     if rollup_path is not None:
         from .derived import RollupMaintainer
 
-        maintainer = RollupMaintainer(spark, table, rollup_path,
-                                      daily_path=daily_rollup_path,
-                                      weekly_path=weekly_rollup_path)
+        maintainers.append(
+            RollupMaintainer(spark, table, rollup_path,
+                             daily_path=daily_rollup_path,
+                             weekly_path=weekly_rollup_path)
+        )
+    if text_index_path is not None:
+        from .derived import TextIndexMaintainer
+
+        maintainers.append(TextIndexMaintainer(spark, table,
+                                               text_index_path))
 
     seen = {"n": 0}
 
@@ -264,7 +272,7 @@ def stream(
             # action is its own snapshot-isolated commit, so a crash
             # mid-maintenance replays as no-ops
             table.optimize(**(optimize_opts or {}))
-        if maintainer is not None:
+        for maintainer in maintainers:
             # Derived levels ride the same epoch, fenced independently.
             # Crucially they must ALSO run when the parent skipped (crash
             # landed between the parent commit and a derived commit →
