@@ -146,6 +146,14 @@ def _parser() -> argparse.ArgumentParser:
     fd.add_argument("--to-version", type=int, default=None,
                     help="defaults to the current snapshot")
 
+    sr = sub.add_parser(
+        "search",
+        help="token search against the maintained inverted index",
+    )
+    sr.add_argument("--index", required=True, help="text index table path")
+    sr.add_argument("--token", action="append", required=True,
+                    help="search token (repeatable; results per token)")
+
     mt = sub.add_parser(
         "maintain",
         help="auto-maintenance: compact/rebucket/vacuum per policy",
@@ -162,7 +170,7 @@ def _parser() -> argparse.ArgumentParser:
     mt.add_argument("--dry-run", action="store_true",
                     help="report decisions without acting")
 
-    for q in (rp, st, gn, dc, lk, fd, mt):
+    for q in (rp, st, gn, dc, lk, fd, sr, mt):
         q.add_argument("--cores", type=int, default=None,
                        help="local[N] when no external master is set")
     return p
@@ -314,6 +322,19 @@ def main(argv: list[str] | None = None) -> int:
         df = table.change_feed(args.from_version, args.to_version)
         for row in df.toJSON().collect():
             print(row)
+        return 0
+
+    if args.mode == "search":
+        # the reference's whole domain (search results as a stream)
+        # served from the engine's OWN incrementally-maintained index:
+        # per token one bucket-pruned point read, no scan of the corpus
+        from .table.microlake import MicroLakeTable
+
+        index = MicroLakeTable.load(spark, args.index)
+        for tok in args.token:
+            df = index.lookup(tok.lower())
+            for row in df.toJSON().collect():
+                print(row)
         return 0
 
     if args.mode == "maintain":

@@ -1457,3 +1457,46 @@ REGISTRY_TRAINDATA.update({
     "docs_vocab_topk": (q_docs_vocab_topk, SQL_DOCS_VOCAB),
     "docs_balanced_sample": (q_docs_balanced_sample, SQL_DOCS_BALANCED_SAMPLE),
 })
+
+
+# ===================================================== inverted index
+
+def q_docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inverted index over the documents table — the
+    oracle-checked twin of the stream-maintained transcript index
+    (streaming/derived.py text_index_level): token → document
+    frequency + sorted postings (capped like POSTINGS_CAP; exact at
+    this corpus). One explode + one aggregate; token-keyed shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    return toks.groupBy("token").agg(
+        F.count("*").alias("n_docs"),
+        # join to ONE string: the driver's row-sort + value-hash
+        # machinery (and pandas) can't order array cells
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10_000),
+            ",",
+        ).alias("postings"),
+    )
+
+
+SQL_DOCS_INVERTED_INDEX = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, count(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id))[1:10000], ',') AS postings
+FROM toks GROUP BY token
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "docs_inverted_index": (q_docs_inverted_index, SQL_DOCS_INVERTED_INDEX),
+})

@@ -219,3 +219,28 @@ def test_cli_feed_emits_change_rows(spark, tmp_dir, capsys):
     assert ("c9", "insert") in kinds
     assert ("c1", "delete") in kinds
     assert {k for k, t in kinds if k == "c0"} == {"c0"}  # update present
+
+
+def test_cli_search_reads_index_point_lookup(spark, tmp_dir, capsys):
+    """`search` answers from the maintained index with a bucket-pruned
+    point read per token."""
+    from tap_github_search_spark.streaming.derived import TextIndexMaintainer
+    from tap_github_search_spark.streaming.job import replay
+    from tests.test_engine import _events
+
+    e0 = _events(spark, [(1, "I", "c1", 0, 10, "hello world"),
+                         (2, "I", "c2", 0, 11, "hello spark")])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, res = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                        n_buckets=2)
+    maint = TextIndexMaintainer(spark, table, f"{tmp_dir}/idx", n_buckets=2)
+    maint.apply_epoch(res[0].epoch)
+
+    rc = main(["search", "--index", f"{tmp_dir}/idx",
+               "--token", "HELLO", "--token", "spark"])
+    assert rc == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+            if x.startswith("{")]
+    by_tok = {r["token"]: r for r in rows}
+    assert sorted(by_tok["hello"]["postings"]) == ["c1", "c2"]
+    assert by_tok["spark"]["postings"] == ["c2"]
