@@ -1428,3 +1428,53 @@ REGISTRY.update({
         q_conv_training_examples, SQL_CONV_TRAINING_EXAMPLES
     ),
 })
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic incremental-analytics
+    rollup (users grouped by first-seen month; how many return k months
+    later). Two hash aggregates: per-user first month (map-side
+    combinable min), then (cohort, month-offset) distinct-user counts.
+    Both key-partitioned; no window over the event stream. Reference
+    analog: the month-partitioned search-count matrices
+    (search_count_streams.py:424-457) — same shape, user axis instead
+    of query axis."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("month")
+    )
+    first = ev.groupBy("user_id").agg(F.min("month").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                (F.substring("month", 1, 4).cast("int") * 12
+                 + F.substring("month", 6, 2).cast("int"))
+                - (F.substring("cohort", 1, 4).cast("int") * 12
+                   + F.substring("cohort", 6, 2).cast("int"))
+            ).alias("month_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH ev AS (
+  SELECT user_id, strftime(ts, '%Y-%m') AS month
+  FROM events
+),
+first AS (SELECT user_id, min(month) AS cohort FROM ev GROUP BY user_id)
+SELECT cohort,
+       CAST((CAST(substr(month, 1, 4) AS INT) * 12
+             + CAST(substr(month, 6, 2) AS INT))
+            - (CAST(substr(cohort, 1, 4) AS INT) * 12
+               + CAST(substr(cohort, 6, 2) AS INT)) AS INT) AS month_offset,
+       count(DISTINCT user_id) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+})

@@ -1500,3 +1500,74 @@ FROM toks GROUP BY token
 REGISTRY_TRAINDATA.update({
     "docs_inverted_index": (q_docs_inverted_index, SQL_DOCS_INVERTED_INDEX),
 })
+
+
+# ============================================= contamination detection
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test CONTAMINATION check — the eval-integrity op every
+    training pipeline runs before shipping a split: find (train, test)
+    doc pairs sharing ≥ 3 word-3-shingles, with the shared count and
+    test-side containment ratio. Composes the catalog's own split
+    assignment (q_docs_split_assign) with the shared shingle frames;
+    the shingle-keyed equi-join is the same sub-quadratic blocking as
+    the dedup family — no train×test cross product, pairs exist only
+    where a shingle collides."""
+    sets = _shingle_sets(spark, sf_dir)
+    split = q_docs_split_assign(spark, sf_dir).select("doc_id", "split")
+    sh = (
+        sets.join(split, "doc_id")
+        .select("doc_id", "split", F.explode("sh").alias("s"))
+    )
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    test = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "s"
+    )
+    shared = (
+        train.join(test, "s")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    tsz = sets.select(F.col("doc_id").alias("test_doc"),
+                      F.size("sh").alias("test_sz"))
+    return shared.join(tsz, "test_doc").select(
+        "train_doc", "test_doc", "n_shared",
+        F.round(F.col("n_shared").cast("double") / F.col("test_sz"), 4)
+            .alias("containment"),
+    )
+
+
+SQL_DOCS_CONTAMINATION = f"""
+{_SH_CTE},
+split AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) % 100 AS b
+    FROM documents
+  )
+),
+tagged AS (SELECT sh.doc_id, split.split, sh.s
+           FROM sh JOIN split USING (doc_id)),
+shared AS (
+  SELECT a.doc_id AS train_doc, b.doc_id AS test_doc, count(*) AS n_shared
+  FROM tagged a JOIN tagged b ON a.s = b.s
+  WHERE a.split = 'train' AND b.split = 'test'
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+SELECT train_doc, test_doc, n_shared,
+       round(n_shared::DOUBLE / sz.sz, 4) AS containment
+FROM shared JOIN sizes sz ON sz.doc_id = test_doc
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
+})
