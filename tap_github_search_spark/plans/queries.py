@@ -1478,3 +1478,64 @@ GROUP BY 1, 2
 REGISTRY.update({
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
 })
+
+
+def q_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level quality gate — the transcript-corpus analog
+    of docs_quality: per conversation, turn count, role mix, assistant
+    share, mean turn length, and the keep flag an SFT curation pipeline
+    filters on (has an assistant turn, 2-200 turns, assistant share in
+    a sane band). One map-side-combinable aggregate over the CDC
+    winners; composes with conv_training_examples (gate first, then
+    assemble pairs)."""
+    fs = final_state(_log(spark, sf_dir)).select(
+        "conv_id", "role", normalized("text").alias("text")
+    )
+    agg = fs.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.count(F.when(F.col("role") == "assistant", 1))
+            .alias("n_assistant"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_turn_chars"),
+    )
+    share = F.round(
+        F.col("n_assistant").cast("double") / F.col("n_turns"), 4
+    )
+    keep = (
+        (F.col("n_assistant") > 0)
+        & F.col("n_turns").between(2, 200)
+        & share.between(0.2, 0.8)
+    )
+    return agg.select(
+        "conv_id", "n_turns", "n_roles", "n_assistant",
+        share.alias("assistant_share"), "avg_turn_chars",
+        keep.cast("int").alias("keep"),
+    )
+
+
+SQL_CONV_QUALITY = f"""
+{_WINNERS_CTE},
+live AS (
+  SELECT conv_id, role, {_NORM} AS text
+  FROM winners WHERE op <> 'D'
+),
+agg AS (
+  SELECT conv_id, count(*) AS n_turns,
+         count(DISTINCT role) AS n_roles,
+         count(*) FILTER (role = 'assistant') AS n_assistant,
+         round(avg(length(text)), 4) AS avg_turn_chars
+  FROM live GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_roles, n_assistant,
+       round(n_assistant::DOUBLE / n_turns, 4) AS assistant_share,
+       avg_turn_chars,
+       CAST(n_assistant > 0 AND n_turns BETWEEN 2 AND 200
+            AND round(n_assistant::DOUBLE / n_turns, 4)
+                BETWEEN 0.2 AND 0.8 AS INT) AS keep
+FROM agg
+"""
+
+
+REGISTRY.update({
+    "conv_quality": (q_conv_quality, SQL_CONV_QUALITY),
+})
