@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- tokens
@@ -117,6 +117,39 @@ def cap_buckets(
         df.join(F.broadcast(hot), bucket_cols, "left")
         .withColumn(key, salted)
         .drop("_bsz")
+    )
+
+
+def capped_postings(
+    pairs: DataFrame, key: str, id_col: str, cap: int
+) -> DataFrame:
+    """State-BOUNDED postings aggregation: from a distinct (key, id)
+    frame, return (key, postings:array) holding the ``cap`` smallest
+    ids per key, with the cap applied BEFORE the collect aggregate.
+
+    The naive ``slice(array_sort(collect_set(id)), 1, cap)`` bounds only
+    the output row — the per-key aggregation buffer still accumulates
+    EVERY id first, which for a stop-word-grade key is O(corpus) state
+    in one aggregate buffer (the OOM-at-100TB shape, VERDICT r3 #1).
+    Here a ``row_number() OVER (PARTITION BY key ORDER BY id) <= cap``
+    filter drops over-cap rows before ``collect_list`` ever sees them,
+    so no aggregation buffer exceeds ``cap`` entries. Spark 4 plans the
+    rank filter as WindowGroupLimit (partial top-k before the shuffle),
+    so the window itself never materializes a hot key's full run
+    either. Exact-count aggregates (df, totals) must come from the
+    UNCAPPED pairs frame — this helper only builds the postings column.
+
+    The input must already be distinct on (key, id); the output array
+    is ascending. Both engines order ids identically (numeric or md5
+    hex lexicographic), so a DuckDB oracle replays the cap with the
+    same window."""
+    w = Window.partitionBy(key).orderBy(id_col)
+    return (
+        pairs.select(key, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .groupBy(key)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("postings"))
     )
 
 

@@ -138,6 +138,72 @@ def test_lsh_hot_bucket_cap_bounds_candidate_pairs(spark):
     assert [r["band_key"] for r in out.collect()] == ["cafe"] * 5
 
 
+def test_capped_postings_bounds_aggregation_state(spark):
+    """VERDICT r3 #1: the postings cap must bound the input of the
+    collect aggregate (per-key aggregation state), not just the output
+    row — a stop-word token would otherwise accumulate O(corpus)
+    postings in one aggregation buffer before any slice."""
+    from tap_github_search_spark.functions.textops import capped_postings
+
+    cap = 5
+    # one deliberately hot key (50 members) + one small key
+    pairs = spark.range(50).select(
+        F.lit("the").alias("token"), F.col("id").alias("conv_id")
+    ).unionAll(
+        spark.range(3).select(
+            F.lit("rare").alias("token"), F.col("id").alias("conv_id")
+        )
+    )
+    out = capped_postings(pairs, "token", "conv_id", cap)
+    rows = {r["token"]: list(r["postings"]) for r in out.collect()}
+    # hot key: exactly the cap smallest ids survive; small key exact
+    assert rows["the"] == [0, 1, 2, 3, 4]
+    assert rows["rare"] == [0, 1, 2]
+    # plan-level proof the bound happens BEFORE the aggregate: Spark 4
+    # turns the rank<=k filter into WindowGroupLimit, a per-partition
+    # top-k that runs below the collect_list aggregate — no buffer
+    # (window or aggregate) ever sees more than ~cap rows per key
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    agg_pos = plan.find("collect_list")
+    limit_pos = plan.find("WindowGroupLimit")
+    assert limit_pos > agg_pos >= 0  # limit is BELOW (after, in print order)
+
+
+def test_contamination_hot_shingle_bounded(spark, tmp_dir):
+    """VERDICT r3 #2: a boilerplate shingle shared by every document
+    must not emit train×test pairs quadratically — ubiquitous shingles
+    (df > CONTAM_SHINGLE_DF_CAP) are dropped before the join, while a
+    genuine rare-shingle contamination pair is still caught."""
+    import os
+
+    from pyspark.sql import Row as R
+
+    from tap_github_search_spark.plans.queries_traindata import (
+        q_docs_contamination,
+    )
+
+    # Under the md5 split rule: ids 1,2,3,4,6 → train; 8,14,25 → test.
+    boiler = "the quick brown fox jumps over lazily"   # 5 shingles, df≈n
+    leak = "zebra quantum violet nebula osmium krypton"  # 4 shingles, df=2
+    rows = []
+    for i in range(1, 200):
+        rows.append(R(doc_id=i, text=f"{boiler} filler{i}a filler{i}b"))
+    # one genuine train→test leak on rare shingles (1=train, 8=test)
+    rows[0] = R(doc_id=1, text=f"{boiler} {leak}")
+    rows[7] = R(doc_id=8, text=f"{boiler} {leak} tail8")
+    d = os.path.join(tmp_dir, "contam")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = q_docs_contamination(spark, d).collect()
+    # every doc shares the 5 boilerplate shingles (df≈199 > cap) — an
+    # uncapped join would report every train×test pair; with the df
+    # drop only the rare-shingle leak survives
+    assert [(r["train_doc"], r["test_doc"]) for r in got] == [(1, 8)]
+    assert got[0]["n_shared"] >= 3
+
+
 def test_ann_bits_scale_with_corpus(spark):
     """VERDICT r1 #3b: fixed n_bits is O(N²/2^bits); bits must grow with
     the corpus so expected bucket size stays ~constant."""
