@@ -267,11 +267,17 @@ def stream(
             table.compact()
         if (optimize_every and not res.skipped
                 and (batch_id + 1) % optimize_every == 0):
-            # the full policy loop riding the stream (compaction on
-            # pileup, rebucket on growth, snapshot expiry) — each
-            # action is its own snapshot-isolated commit, so a crash
-            # mid-maintenance replays as no-ops
-            table.optimize(**(optimize_opts or {}))
+            # the BOUNDED policy loop riding the stream (compaction on
+            # pileup, snapshot expiry) — each action is its own
+            # snapshot-isolated commit, so a crash mid-maintenance
+            # replays as no-ops. allow_rebucket=False: a full-table
+            # rewrite inside foreachBatch would stall ingest for the
+            # rewrite's duration at scale; the policy only REPORTS the
+            # rebucket decision here and the out-of-band `maintain`
+            # CLI executes it (VERDICT r3 #3)
+            opts = {k: v for k, v in (optimize_opts or {}).items()
+                    if k != "allow_rebucket"}
+            table.optimize(allow_rebucket=False, **opts)
         for maintainer in maintainers:
             # Derived levels ride the same epoch, fenced independently.
             # Crucially they must ALSO run when the parent skipped (crash

@@ -785,6 +785,7 @@ class MicroLakeTable:
         grace_seconds: float = 3600.0,
         metadata_keep_epochs: int | None = None,
         dry_run: bool = False,
+        allow_rebucket: bool = True,
     ) -> dict:
         """Auto-maintenance policy: inspect manifest/layout stats and
         run the cheapest action that restores the table's layout
@@ -852,8 +853,18 @@ class MicroLakeTable:
         # record it and let the next scheduled run retry against the
         # fresher snapshot (Iceberg's maintenance procedures behave the
         # same way: commit conflict → retry later).
+        # ``allow_rebucket=False`` is the IN-STREAM policy contract
+        # (VERDICT r3 #3): compact/vacuum are bounded actions safe
+        # inside a foreachBatch window, but rebucket is a FULL-TABLE
+        # rewrite — at 10^10 rows it would stall ingest for hours and
+        # hold the trigger. The streaming loop therefore only REPORTS
+        # the rebucket decision (dry-run style); execution belongs to
+        # the out-of-band ``maintain`` CLI, which runs with
+        # allow_rebucket=True on its own schedule. When a rebucket is
+        # wanted but deferred, compaction still runs so MOR pileup
+        # stays bounded in the meantime.
         want_rebucket = per_bucket > target_bucket_bytes
-        if want_rebucket:
+        if want_rebucket and allow_rebucket:
             new_n = self.n_buckets
             while total_bytes / new_n > target_bucket_bytes:
                 new_n *= 2
@@ -867,19 +878,30 @@ class MicroLakeTable:
                     report["rebucketed_to"] = new_n
                 except ConcurrentCommitError:
                     report["actions"].append("rebucket lost commit race")
-        elif pileup:
-            n = min(len(pileup), compact_batch)
-            report["actions"].append(
-                f"compact {n}/{len(pileup)} buckets "
-                f"(>{max_generations} generations)"
-            )
-            if not dry_run:
-                try:
-                    report["compacted_buckets"] = self.compact(
-                        max_buckets=compact_batch
-                    )
-                except ConcurrentCommitError:
-                    report["actions"].append("compact lost commit race")
+        else:
+            if want_rebucket:
+                new_n = self.n_buckets
+                while total_bytes / new_n > target_bucket_bytes:
+                    new_n *= 2
+                report["rebucket_wanted"] = new_n
+                report["actions"].append(
+                    f"rebucket {self.n_buckets}->{new_n} deferred to "
+                    "out-of-band maintain (full-table rewrite not "
+                    "allowed in-stream)"
+                )
+            if pileup:
+                n = min(len(pileup), compact_batch)
+                report["actions"].append(
+                    f"compact {n}/{len(pileup)} buckets "
+                    f"(>{max_generations} generations)"
+                )
+                if not dry_run:
+                    try:
+                        report["compacted_buckets"] = self.compact(
+                            max_buckets=compact_batch
+                        )
+                    except ConcurrentCommitError:
+                        report["actions"].append("compact lost commit race")
 
         mdir = os.path.join(self.path, "_manifests")
         n_manifests = sum(
@@ -927,6 +949,16 @@ class MicroLakeTable:
         cutoff = self.last_committed_epoch - keep_epochs
         removed: list[str] = []
         kept_refs: dict[str, list[str]] = {}
+        # lineage-expiry fence (ADVICE r3): change_feed's incremental
+        # path derives touched buckets from _lineage_entries(after=lo);
+        # once a lineage segment is deleted, intervals starting at or
+        # before its max epoch can no longer enumerate their buckets
+        # and MUST fall back to the full-snapshot diff or they silently
+        # drop changes (a replicator with an old bookmark would lose
+        # rows). The fence records the newest expired lineage epoch;
+        # change_feed forces full_scan below it (same mechanism as
+        # last_rebucket_version for spec evolution).
+        fence = int(self.manifest.get("lineage_complete_after_epoch", -1))
         for kind in ("lineage", "metrics"):
             kept = []
             for rel in self.manifest.get(f"{kind}_segments", []):
@@ -940,6 +972,8 @@ class MicroLakeTable:
                     continue  # already gone: drop the reference too
                 if mx is not None and mx <= cutoff:
                     removed.append(rel)
+                    if kind == "lineage":
+                        fence = max(fence, int(mx))
                 else:
                     kept.append(rel)
             kept_refs[kind] = kept
@@ -954,6 +988,7 @@ class MicroLakeTable:
             extra={
                 "lineage_segments": kept_refs["lineage"],
                 "metrics_segments": kept_refs["metrics"],
+                "lineage_complete_after_epoch": fence,
             },
         )
         for rel in removed:
@@ -1377,6 +1412,18 @@ class MicroLakeTable:
         if not full_scan:
             rebucket_v = int(new.manifest.get("last_rebucket_version", -1))
             if old.n_buckets != new.n_buckets or rebucket_v > from_version:
+                full_scan = True
+
+        # Metadata-expiry fence: lineage rows at or below this epoch
+        # were deleted by expire_metadata, so an interval starting
+        # there cannot enumerate its touched buckets — the incremental
+        # diff would silently MISS changes. Fall back to the
+        # full-snapshot diff (correct at any retention state).
+        if not full_scan:
+            lineage_fence = int(
+                new.manifest.get("lineage_complete_after_epoch", -1)
+            )
+            if old.last_committed_epoch < lineage_fence:
                 full_scan = True
 
         if not full_scan:

@@ -56,6 +56,50 @@ def test_optimize_rebuckets_on_growth_and_subsumes_compact(spark, tmp_dir):
         .first()["text"] is not None
 
 
+def test_optimize_defers_rebucket_when_disallowed(spark, tmp_dir):
+    """VERDICT r3 #3: with allow_rebucket=False (the in-stream policy
+    contract) a growth trigger only REPORTS the rebucket decision; the
+    bucket spec is untouched and bounded compaction still runs so MOR
+    pileup doesn't accumulate behind the deferred rewrite."""
+    table = _seed(spark, tmp_dir)
+    table.merge(_events(spark, [(900, "U", "c1", 0, 900)]), epoch=1,
+                merge_mode="mor")
+    rep = table.optimize(target_bucket_bytes=1024, max_generations=0,
+                         keep_versions=100, allow_rebucket=False)
+    assert rep["rebucketed_to"] is None
+    assert rep["rebucket_wanted"] > 2
+    assert any("deferred to out-of-band maintain" in a
+               for a in rep["actions"])
+    t2 = MicroLakeTable.load(spark, table.path)
+    assert t2.n_buckets == 2  # spec untouched
+    # compaction was NOT subsumed: the pileup still got resolved
+    assert rep["compacted_buckets"] > 0
+    assert not t2.manifest.get("read_dedup")
+    # the out-of-band maintain path (allow_rebucket default) executes it
+    rep2 = t2.optimize(target_bucket_bytes=1024, max_generations=0,
+                       keep_versions=100)
+    assert rep2["rebucketed_to"] is not None
+    assert MicroLakeTable.load(spark, table.path).n_buckets > 2
+
+
+def test_stream_optimize_never_rebuckets_inline(spark, tmp_dir):
+    """The streaming loop's optimize_every must never fire a full-table
+    rewrite mid-stream, even when the growth trigger wants one."""
+    from tap_github_search_spark.sources.generator import write_changelog
+    from tap_github_search_spark.streaming.job import stream
+
+    write_changelog(spark, f"{tmp_dir}/log", 60, n_files=3)
+    stream(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t", f"{tmp_dir}/ckpt",
+           n_buckets=2, max_files_per_trigger=1, optimize_every=1,
+           optimize_opts={"target_bucket_bytes": 1, "keep_versions": 1000})
+    t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert t.n_buckets == 2  # growth trigger reported, never executed
+    # and the decision IS surfaced for the out-of-band loop
+    rep = t.optimize(target_bucket_bytes=1, keep_versions=1000,
+                     allow_rebucket=False, dry_run=True)
+    assert rep["rebucket_wanted"] > 2
+
+
 def test_optimize_dry_run_and_vacuum(spark, tmp_dir):
     table = _seed(spark, tmp_dir)
     for e in range(1, 4):
@@ -223,6 +267,63 @@ def test_expire_metadata_drops_old_segments(spark, tmp_dir, monkeypatch):
     rep = t2.optimize(keep_versions=1000, metadata_keep_epochs=0,
                       dry_run=True)
     assert any(a.startswith("expire_metadata") for a in rep["actions"])
+
+
+def test_expire_metadata_fences_stale_bookmark_change_feed(
+    spark, tmp_dir, monkeypatch
+):
+    """ADVICE r3 (medium): after expire_metadata deletes lineage
+    segments, an incremental change_feed whose interval starts before
+    the expired epochs can no longer enumerate its touched buckets —
+    without a fence it silently drops real changes. The fence must
+    force the full-snapshot diff for such stale bookmarks."""
+    from tap_github_search_spark.table.microlake import murmur3_x86_32
+
+    monkeypatch.setattr(MicroLakeTable, "LINEAGE_INLINE_MAX", 2)
+
+    def pick(bucket):
+        i = 0
+        while True:
+            k = f"k{i:04d}"
+            if murmur3_x86_32(k.encode()) % 2 == bucket:
+                return k
+            i += 1
+
+    ka, kb = pick(0), pick(1)  # disjoint buckets
+    _events(spark, [(1, "I", ka, 0, 10), (2, "I", kb, 0, 11)]) \
+        .write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, _ = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                      n_buckets=2)
+    v_bookmark = table.manifest["version"]  # consumer's stale bookmark
+
+    # epoch 1 touches ONLY ka's bucket — the epoch whose lineage will
+    # expire; its change is exactly what an un-fenced incremental
+    # diff would lose
+    table.merge(_events(spark, [(20, "U", ka, 0, 20, "ka-moved")]), epoch=1)
+    for e in range(2, 10):  # later epochs touch only kb's bucket
+        table.merge(_events(spark, [(20 + e, "U", kb, 0, 100 + e)]), epoch=e)
+
+    t = MicroLakeTable.load(spark, table.path)
+    assert t.expire_metadata(keep_epochs=3) > 0
+    t2 = MicroLakeTable.load(spark, table.path)
+    fence = t2.manifest["lineage_complete_after_epoch"]
+    assert fence >= 1  # epoch 1's lineage is gone
+
+    feed = t2.change_feed(v_bookmark)
+    full = t2.change_feed(v_bookmark, full_scan=True)
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["_change_type"])
+    assert sorted(map(key, feed.collect())) == \
+        sorted(map(key, full.collect()))
+    # the change the un-fenced incremental path would have dropped:
+    got = {r["conv_id"]: r["text"] for r in feed.collect()}
+    assert got.get(ka) == "ka-moved"
+
+    # a FRESH bookmark (at/after the fence) still takes the
+    # incremental bucket-pruned path and agrees with the full diff
+    v_fresh = t2.manifest["version"] - 2
+    a = t2.change_feed(v_fresh).collect()
+    b = t2.change_feed(v_fresh, full_scan=True).collect()
+    assert sorted(map(key, a)) == sorted(map(key, b))
 
 
 def test_optimize_tolerates_commit_race(spark, tmp_dir):
