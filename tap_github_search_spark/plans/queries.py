@@ -541,14 +541,18 @@ def q_agg_monthly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # floor(x*100+0.5)/100: engine-identical half-up rounding
+            # (Spark round HALF_UP vs DuckDB round diverge on .005
+            # boundaries — ADVICE r2 #5 / VERDICT r3 #6)
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100)
+            .alias("total_value"),
         )
     )
 
 
 SQL_AGG_MONTHLY = """
 SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -562,7 +566,11 @@ def q_agg_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # floor(x*100+0.5)/100: engine-identical half-up rounding
+            # (Spark round HALF_UP vs DuckDB round diverge on .005
+            # boundaries — ADVICE r2 #5 / VERDICT r3 #6)
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100)
+            .alias("total_value"),
         )
     )
 
@@ -570,7 +578,7 @@ def q_agg_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_USER = """
 SELECT user_id, count(*) AS n_events,
        count(*) FILTER (event_type = 'error') AS n_errors,
-       round(sum(value), 2) AS total_value
+       floor(sum(value) * 100 + 0.5) / 100 AS total_value
 FROM events GROUP BY user_id
 """
 
@@ -589,13 +597,15 @@ def q_join_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100)
+            .alias("revenue"),
         )
     )
 
 
 SQL_JOIN_ENRICH = """
-SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT n_name, count(*) AS n_orders,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -1496,10 +1506,12 @@ def q_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("role").alias("n_roles"),
         F.count(F.when(F.col("role") == "assistant", 1))
             .alias("n_assistant"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_turn_chars"),
+        (F.floor(F.avg(F.length("text")) * 10000 + F.lit(0.5)) / 10000)
+            .alias("avg_turn_chars"),
     )
-    share = F.round(
-        F.col("n_assistant").cast("double") / F.col("n_turns"), 4
+    share = (
+        F.floor(F.col("n_assistant").cast("double") / F.col("n_turns")
+                * 10000 + F.lit(0.5)) / 10000
     )
     keep = (
         (F.col("n_assistant") > 0)
@@ -1523,14 +1535,15 @@ agg AS (
   SELECT conv_id, count(*) AS n_turns,
          count(DISTINCT role) AS n_roles,
          count(*) FILTER (role = 'assistant') AS n_assistant,
-         round(avg(length(text)), 4) AS avg_turn_chars
+         floor(avg(length(text)) * 10000 + 0.5) / 10000 AS avg_turn_chars
   FROM live GROUP BY conv_id
 )
 SELECT conv_id, n_turns, n_roles, n_assistant,
-       round(n_assistant::DOUBLE / n_turns, 4) AS assistant_share,
+       floor(n_assistant::DOUBLE / n_turns * 10000 + 0.5) / 10000
+         AS assistant_share,
        avg_turn_chars,
        CAST(n_assistant > 0 AND n_turns BETWEEN 2 AND 200
-            AND round(n_assistant::DOUBLE / n_turns, 4)
+            AND floor(n_assistant::DOUBLE / n_turns * 10000 + 0.5) / 10000
                 BETWEEN 0.2 AND 0.8 AS INT) AS keep
 FROM agg
 """

@@ -730,16 +730,21 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
     )
+    # floor form: engine-identical half-up rounding both sides; the
+    # shift keeps possibly-negative stats exact cross-engine too (floor
+    # is floor in both engines, unlike round's HALF_UP-vs-banker's)
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
     return emb.groupBy("dim").agg(
-        F.round(F.avg("x"), 4).alias("avg_val"),
-        F.round(F.min("x"), 4).alias("min_val"),
-        F.round(F.max("x"), 4).alias("max_val"),
+        r4(F.avg("x")).alias("avg_val"),
+        r4(F.min("x")).alias("min_val"),
+        r4(F.max("x")).alias("max_val"),
     )
 
 
 SQL_EMB_DIM_STATS = """
-SELECT i - 1 AS dim, round(avg(x), 4) AS avg_val,
-       round(min(x), 4) AS min_val, round(max(x), 4) AS max_val
+SELECT i - 1 AS dim, floor(avg(x) * 10000 + 0.5) / 10000 AS avg_val,
+       floor(min(x) * 10000 + 0.5) / 10000 AS min_val,
+       floor(max(x) * 10000 + 0.5) / 10000 AS max_val
 FROM (
   SELECT unnest(embedding::DOUBLE[]) AS x,
          generate_subscripts(embedding, 1) AS i
@@ -845,9 +850,9 @@ def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100 + F.lit(0.5)) / 100).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -855,7 +860,8 @@ def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_LOCAL_SUPPLIER = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -875,12 +881,15 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            (F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)) / 100)
+            .alias("sum_qty"),
+            (F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)) / 100)
+            .alias("sum_base_price"),
+            (F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100 + F.lit(0.5)) / 100).alias("sum_disc_price"),
+            (F.floor(F.avg("l_quantity") * 10000 + F.lit(0.5)) / 10000)
+            .alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -888,10 +897,11 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_PRICING = """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(avg(l_quantity), 4) AS avg_qty,
+  floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+  floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+    AS sum_disc_price,
+  floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1232,14 +1242,14 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err",
         F.zip_with("v", "q", lambda x, qq: F.abs(x - qq * F.col("scale"))),
     )
+    r6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
     return df.select(
         "vec_id",
-        F.round("scale", 6).alias("scale"),
-        F.round(F.array_max("err"), 6).alias("max_abs_err"),
-        F.round(
+        r6(F.col("scale")).alias("scale"),
+        r6(F.array_max("err")).alias("max_abs_err"),
+        r6(
             F.aggregate("err", F.lit(0.0), lambda a, x: a + x)
-            / F.size("err"),
-            6,
+            / F.size("err")
         ).alias("mean_abs_err"),
     )
 
@@ -1262,10 +1272,10 @@ e AS (
   FROM s
 )
 SELECT vec_id,
-       round(scale, 6) AS scale,
-       round(list_max(err), 6) AS max_abs_err,
-       round(list_reduce(err, (a, b) -> a + b) / len(err), 6)
-         AS mean_abs_err
+       floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+       floor(list_max(err) * 1000000 + 0.5) / 1000000 AS max_abs_err,
+       floor(list_reduce(err, (a, b) -> a + b) / len(err) * 1000000 + 0.5)
+         / 1000000 AS mean_abs_err
 FROM e
 """
 
