@@ -308,7 +308,9 @@ def main(argv: list[str] | None = None) -> int:
             df = table.lookup(args.key[0], turn_idx=args.turn)
         else:
             df = table.scan_keys(args.key)
-        for row in df.toJSON().collect():
+        # toLocalIterator: emission streams partition-by-partition —
+        # the driver never materializes the full result (VERDICT r3 #6)
+        for row in df.toJSON().toLocalIterator():
             print(row)
         return 0
 
@@ -320,7 +322,8 @@ def main(argv: list[str] | None = None) -> int:
 
         table = MicroLakeTable.load(spark, args.table)
         df = table.change_feed(args.from_version, args.to_version)
-        for row in df.toJSON().collect():
+        # a large interval's diff can approach table size — stream it
+        for row in df.toJSON().toLocalIterator():
             print(row)
         return 0
 
@@ -333,7 +336,7 @@ def main(argv: list[str] | None = None) -> int:
         index = MicroLakeTable.load(spark, args.index)
         for tok in args.token:
             df = index.lookup(tok.lower())
-            for row in df.toJSON().collect():
+            for row in df.toJSON().toLocalIterator():
                 print(row)
         return 0
 

@@ -1093,6 +1093,22 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the round cap was hit with propagation still active: a
+        # component of diameter > CC_MAX_ROUNDS would carry non-minimal
+        # labels (and wrong is_canonical / cluster_size). Surface it
+        # loudly so an oracle mismatch is diagnosable (ADVICE r3); the
+        # large-star/small-star O(log² n) variant is the drop-in fix
+        # for adversarially deep graphs (see docstring).
+        import warnings
+
+        warnings.warn(
+            f"dedup clustering hit CC_MAX_ROUNDS={CC_MAX_ROUNDS} before "
+            "convergence — labels may be non-minimal for components "
+            "deeper than the round cap",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sizes = labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
         F.count("*").alias("cluster_size")
     )

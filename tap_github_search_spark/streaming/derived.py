@@ -249,6 +249,23 @@ class DerivedChain:
             v -= 1
         return None
 
+    def _maybe_broadcast(self, affected: DataFrame) -> DataFrame:
+        """Broadcast an affected-key frame only when it is provably
+        small (VERDICT r3 minor #5): an unconditional broadcast OOMs
+        the driver / trips the 8 GB broadcast cap when a bulk epoch
+        dirties a huge key set (the text-index level after a backfill
+        can dirty most of the vocabulary). The size probe is a
+        ``limit(k+1).count()`` — it stops scanning as soon as k+1 rows
+        exist, so the cost is bounded by the threshold, not the frame.
+        Above the threshold the join falls back to a plain shuffle
+        join, which is exactly right for a big affected set."""
+        limit = int(os.environ.get("SPARK_GRAFT_BROADCAST_KEYS",
+                                   "1000000"))
+        if limit <= 0:
+            return affected
+        n = affected.limit(limit + 1).count()
+        return F.broadcast(affected) if n <= limit else affected
+
     def _affected_keys(self, parent: MicroLakeTable, parent_key: str,
                        spec: LevelSpec, affected_parent: DataFrame,
                        epoch: int) -> DataFrame:
@@ -258,16 +275,17 @@ class DerivedChain:
         row whose derived key moved dirties both its old and new
         group."""
         key = spec.key_expr().alias(spec.key)
+        aff = self._maybe_broadcast(affected_parent)
         cur = (
             parent.snapshot_df()
-            .join(F.broadcast(affected_parent), parent_key)
+            .join(aff, parent_key)
             .select(key)
         )
         prev = self._pre_epoch_version(parent, epoch)
         if prev is not None:
             old = (
                 prev.snapshot_df()
-                .join(F.broadcast(affected_parent), parent_key)
+                .join(aff, parent_key)
                 .select(key)
             )
             cur = cur.unionByName(old)
@@ -308,9 +326,10 @@ class DerivedChain:
         live = parent.snapshot_df()
         if spec.key_expr is not None:
             live = live.withColumn(spec.key, spec.key_expr())
-        # Only affected keys are read back; the broadcast keeps the
-        # probe local (affected set ≪ table).
-        live = live.join(F.broadcast(affected), spec.key)
+        # Only affected keys are read back; a small affected set is
+        # broadcast so the probe stays local, a bulk-epoch set falls
+        # back to a shuffle join (_maybe_broadcast guard).
+        live = live.join(self._maybe_broadcast(affected), spec.key)
         rollups = spec.transform(live)
         # keys that lost every live member → delete the derived row
         gone = affected.join(rollups.select(spec.key), spec.key, "left_anti")

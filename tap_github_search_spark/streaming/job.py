@@ -36,7 +36,14 @@ def discover_schema(spark: SparkSession, *log_dirs: str) -> T.StructType:
     dir (the tap writes evolved streams to ``log_evolved``-style paths);
     a production deployment reads the schema registry instead. Reference
     analog: ``--discover`` catalog emission
-    (/root/reference/tap_github/tap.py:137-160)."""
+    (/root/reference/tap_github/tap.py:137-160).
+
+    The per-dir homogeneity invariant is VERIFIED, not assumed (ADVICE
+    r3): a second file (the other end of the name sort — part names are
+    uuid-random, so "newest" is an arbitrary pick) must carry the same
+    column set, else discovery fails loudly instead of silently
+    dropping columns present only in unsampled files. Cost: at most
+    one extra footer read per dir."""
     import os
 
     fields: dict[str, T.StructField] = {}
@@ -44,8 +51,17 @@ def discover_schema(spark: SparkSession, *log_dirs: str) -> T.StructType:
         files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
         if not files:
             continue
-        newest = os.path.join(d, files[-1])
-        for f in spark.read.parquet(newest).schema.fields:
+        sampled = spark.read.parquet(os.path.join(d, files[-1])).schema
+        if len(files) > 1:
+            other = spark.read.parquet(os.path.join(d, files[0])).schema
+            if {f.name for f in other.fields} != \
+                    {f.name for f in sampled.fields}:
+                raise ValueError(
+                    f"heterogeneous WAL dir {d}: '{files[0]}' and "
+                    f"'{files[-1]}' carry different column sets — a "
+                    "schema evolution must land as a NEW log dir"
+                )
+        for f in sampled.fields:
             fields.setdefault(f.name, f)
     return T.StructType(list(fields.values()))
 

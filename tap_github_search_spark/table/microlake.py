@@ -351,9 +351,12 @@ class MicroLakeTable:
             raise ValueError(f"no such column: {old}")
         if old in protected:
             raise ValueError(f"cannot rename key/ordering column: {old}")
-        used_physical = {self._physical(n) for n in names} | set(
-            self.manifest.get("dropped_physical", [])
-        )
+        # exclude old's OWN physical name from the collision set: a→b→a
+        # rename-back lands on its own physical slot, a safe identity
+        # mapping (Iceberg allows the same; ADVICE r3)
+        used_physical = {
+            self._physical(n) for n in names if n != old
+        } | set(self.manifest.get("dropped_physical", []))
         if new in names or new in used_physical:
             raise ValueError(f"column name in use (logical or physical): {new}")
         mapping = dict(self._mapping())

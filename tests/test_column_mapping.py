@@ -61,14 +61,42 @@ def test_rename_guards(spark, tmp_dir):
     with pytest.raises(ValueError):
         table.rename_column("nope", "x")
     table.rename_column("text", "body")
-    with pytest.raises(ValueError):
-        # 'text' is still a physical name in old files — taking it as a
-        # logical name again would resurrect stale bytes
-        table.rename_column("body", "text")
+    # NOTE: body→text (rename-BACK onto its own physical slot) is
+    # allowed — covered by test_rename_back_to_original_name; only
+    # renames onto ANOTHER column's physical name are refused.
     # an old-schema producer still sending 'text' is refused, not added
     with pytest.raises(ValueError):
         table.merge(_events(spark, [(200, "U", "c1", 0, 200, "boom")]),
                     epoch=2)
+
+
+def test_rename_back_to_original_name(spark, tmp_dir):
+    """ADVICE r3: a→b→a must succeed — the rename-back lands on the
+    column's own physical slot, an identity mapping (Iceberg allows
+    the same); the collision guard must not count a column's own
+    physical name against it."""
+    table = _seed(spark, tmp_dir)
+    before = {r["conv_id"]: r["text"]
+              for r in table.snapshot_df().collect()}
+    table.rename_column("text", "body")
+    t2 = MicroLakeTable.load(spark, table.path)
+    t2.rename_column("body", "text")
+    t3 = MicroLakeTable.load(spark, table.path)
+    names = [f.name for f in t3.schema.fields]
+    assert "text" in names and "body" not in names
+    # the round trip leaves an identity mapping — no stale rename entry
+    assert "text" not in t3.manifest.get("renames", {})
+    got = {r["conv_id"]: r["text"] for r in t3.snapshot_df().collect()}
+    assert got == before
+    # and merges with the restored name still work
+    t3.merge(_events(spark, [(100, "U", "c0", 0, 100, "back")]), epoch=1)
+    t4 = MicroLakeTable.load(spark, table.path)
+    assert t4.lookup("c0").first()["text"] == "back"
+    # a rename onto a DIFFERENT column's physical name stays refused
+    t4.rename_column("tool", "tool2")
+    t5 = MicroLakeTable.load(spark, table.path)
+    with pytest.raises(ValueError, match="in use"):
+        t5.rename_column("text", "tool")
 
 
 def test_drop_column_and_resurrection_guard(spark, tmp_dir):

@@ -35,6 +35,48 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_dir):
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
 
 
+def test_bulk_epoch_uses_shuffle_join_not_broadcast(
+    spark, tmp_dir, monkeypatch
+):
+    """VERDICT r3 minor #5: affected-key frames are only broadcast when
+    provably small; above the threshold (here forced to 0 — every set
+    is 'too big', the bulk-backfill case) the probe join falls back to
+    a plain shuffle join and the chain still converges to the full
+    recompute."""
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_KEYS", "0")
+    write_changelog(spark, f"{tmp_dir}/log", 80, n_files=2, delete_pct=20)
+    table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                            n_buckets=4, n_epochs=2)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup",
+                             daily_path=f"{tmp_dir}/daily")
+    for r in results:
+        maint.apply_epoch(r.epoch)
+    got = _canon(maint.child.snapshot_df().drop("ts").toPandas())
+    expect = _canon(conv_rollup(table.snapshot_df()).toPandas())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # plan-level: with the guard tripped the probe join must NOT carry
+    # the unconditional broadcast HINT (AQE may still choose a
+    # broadcast join at runtime from actual stats — that is the safe,
+    # size-aware decision the guard defers to; the bug was forcing the
+    # hint regardless of size)
+    affected = maint.chain.affected_root_keys(results[-1].epoch)
+
+    def hinted(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return "ResolvedHint" in plan
+
+    probe = table.snapshot_df().join(
+        maint.chain._maybe_broadcast(affected), "conv_id"
+    )
+    assert not hinted(probe)
+    # and with a generous threshold the small set IS hinted again
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_KEYS", "1000000")
+    probe2 = table.snapshot_df().join(
+        maint.chain._maybe_broadcast(affected), "conv_id"
+    )
+    assert hinted(probe2)
+
+
 def test_rollup_deletes_emptied_conversation(spark, tmp_dir):
     # epoch 0 inserts two conversations; epoch 1 deletes every turn of c1
     e0 = _events(spark, [(1, "I", "c1", 0, 10), (2, "I", "c1", 1, 11),

@@ -348,3 +348,25 @@ def test_metrics_df_backfills_pre_evolution_manifests(spark, tmp_dir):
         m.pop("events_rejected", None)
     rows = t.metrics_df().collect()
     assert rows and rows[0]["events_rejected"] == 0
+
+
+def test_discover_schema_rejects_heterogeneous_dir(spark, tmp_dir):
+    """ADVICE r3: the one-footer-per-dir discovery samples an arbitrary
+    file (part names are uuid-random); if a dir ever holds files with
+    different column sets, discovery must fail loudly instead of
+    silently dropping the unsampled files' columns."""
+    from tap_github_search_spark.streaming.job import discover_schema
+
+    _events(spark, [(1, "I", "c1", 0, 10)]).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{tmp_dir}/log")
+    # homogeneous multi-file dir: fine
+    _events(spark, [(2, "I", "c2", 0, 11)]).coalesce(1) \
+        .write.mode("append").parquet(f"{tmp_dir}/log")
+    s = discover_schema(spark, f"{tmp_dir}/log")
+    assert "conv_id" in [f.name for f in s.fields]
+    # in-place evolution (extra column) in the SAME dir: refused
+    _events(spark, [(3, "I", "c3", 0, 12)]) \
+        .withColumn("lang", F.lit("en")).coalesce(1) \
+        .write.mode("append").parquet(f"{tmp_dir}/log")
+    with pytest.raises(ValueError, match="heterogeneous WAL dir"):
+        discover_schema(spark, f"{tmp_dir}/log")
