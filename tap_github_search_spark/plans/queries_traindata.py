@@ -1777,3 +1777,173 @@ FROM shared JOIN sizes sz ON sz.doc_id = test_doc
 REGISTRY_TRAINDATA.update({
     "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
 })
+
+
+# ========================================= TF-IDF keyword extraction
+
+def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — keyword extraction / feature
+    weighting, the classic retrieval statistic a curation pipeline uses
+    for topical clustering and near-dup triage. Consumes the corpus
+    document-frequency frame (``docs_token_df``'s aggregate — VERDICT
+    r3 #5's primitive applied beyond capping): score = tf · ln(N/df),
+    floor-rounded to 6 dp on BOTH engines so ranking ties break
+    identically (then by token asc).
+
+    Plan: tf aggregate shuffles on (doc_id, token); the df join rides
+    the token partitioning; one (doc_id)-keyed window with a rank<=3
+    filter Spark plans as WindowGroupLimit — nothing holds more than
+    per-key state. Scales linearly in corpus tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    ).transform(stage_for_reuse)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = toks.select("doc_id", "token").distinct() \
+        .groupBy("token").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_corpus"))
+    score = F.floor(
+        F.col("tf") * F.log(F.col("n_corpus").cast("double") / F.col("df"))
+        * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        tf.join(dfc, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "score")
+    )
+
+
+SQL_DOCS_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+total AS (SELECT count(*) AS n_corpus FROM documents),
+s AS (
+  SELECT doc_id, token,
+         floor(tf * ln(n_corpus::DOUBLE / df) * 1000000 + 0.5) / 1000000
+           AS score
+  FROM tf JOIN dfc USING (token), total
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, token, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
+# ====================================== bigram PMI collocation mining
+
+#: minimum bigram occurrences before PMI is trusted (sparse-count noise)
+PMI_MIN_COUNT = 5
+
+
+def q_docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 token bigrams by pointwise mutual
+    information, PMI = ln(p(ab) / (p(a)·p(b))) with counts ≥
+    ``PMI_MIN_COUNT`` — the n-gram language-model statistic (KenLM-style
+    count tables) a pretraining pipeline derives for tokenizer merges
+    and boilerplate detection. Two explodes + three map-side-combinable
+    count aggregates; the unigram frame joins the bigram frame twice on
+    its word keys (broadcast — vocabulary ≪ corpus); final global
+    top-20 is a rank over the surviving collocations only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    big = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2)),
+                )
+            )
+        ).alias("bigram")
+    )
+    uni = docs.select(F.explode(toks).alias("w"))
+    n_uni = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    n_big = big.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    t_uni = uni.agg(F.count("*").alias("t_uni"))
+    t_big = big.agg(F.count("*").alias("t_big"))
+    parts = F.split("bigram", " ")
+    scored = (
+        n_big.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(F.broadcast(n_uni.withColumnRenamed("w", "wa")
+                          .withColumnRenamed("n_w", "n_a")), "wa")
+        .join(F.broadcast(n_uni.withColumnRenamed("w", "wb")
+                          .withColumnRenamed("n_w", "n_b")), "wb")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_big))
+        .withColumn(
+            "pmi",
+            F.floor(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("t_big"))
+                    / ((F.col("n_a").cast("double") / F.col("t_uni"))
+                       * (F.col("n_b").cast("double") / F.col("t_uni")))
+                ) * 1_000_000 + F.lit(0.5)
+            ) / 1_000_000,
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "bigram", "n_ab", "pmi")
+    )
+
+
+SQL_DOCS_BIGRAM_PMI = rf"""
+WITH d AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+big AS (
+  SELECT unnest(list_transform(
+    generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]))
+    AS bigram
+  FROM d WHERE len(ws) >= 2
+),
+uni AS (SELECT unnest(ws) AS w FROM d),
+n_uni AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+n_big AS (SELECT bigram, count(*) AS n_ab FROM big GROUP BY bigram
+          HAVING count(*) >= {PMI_MIN_COUNT}),
+t AS (SELECT (SELECT count(*) FROM uni) AS t_uni,
+             (SELECT count(*) FROM big) AS t_big),
+scored AS (
+  SELECT b.bigram, b.n_ab,
+    floor(ln((b.n_ab::DOUBLE / t.t_big)
+             / ((a.n_w::DOUBLE / t.t_uni) * (c.n_w::DOUBLE / t.t_uni)))
+          * 1000000 + 0.5) / 1000000 AS pmi
+  FROM n_big b
+  JOIN n_uni a ON a.w = string_split(b.bigram, ' ')[1]
+  JOIN n_uni c ON c.w = string_split(b.bigram, ' ')[2]
+  , t
+)
+SELECT CAST(rank AS INT) AS rank, bigram, n_ab, pmi FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram) AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
+REGISTRY_TRAINDATA.update({
+    "docs_tfidf_topterms": (q_docs_tfidf_topterms, SQL_DOCS_TFIDF),
+    "docs_bigram_pmi": (q_docs_bigram_pmi, SQL_DOCS_BIGRAM_PMI),
+})

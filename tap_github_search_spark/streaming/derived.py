@@ -218,7 +218,18 @@ class DerivedChain:
         """Distinct level-1 keys staged in the given epoch — a skinny
         scan of that epoch's staged winner files only (stage dirs carry
         a writer-unique tag: ``epoch=N-<tag>``; rewrite/compact dirs
-        have further suffixes and are excluded)."""
+        have further suffixes and are excluded).
+
+        TOTAL by design: an epoch with nothing staged (empty batch, or
+        an old redelivered epoch whose stage was vacuumed after every
+        level committed it) yields an EMPTY key frame, so the chain
+        advances each level's fence with an empty merge instead of
+        erroring out of catch-up. The chaos soak found the alternative
+        failure mode: a swallowed catch-up error let the streaming
+        checkpoint commit with a deep level permanently behind — a
+        liveness hole, since that batch is never redelivered. Genuine
+        read failures on existing staged files still raise (the batch
+        fails and Structured Streaming redelivers = retry)."""
         data = os.path.join(self.main.path, "data")
         prefix = f"epoch={epoch}-"
         dirs = [
@@ -226,9 +237,19 @@ class DerivedChain:
             for d in os.listdir(data)
             if d.startswith(prefix) and "." not in d[len(prefix):]
         ]
+        def _has_parquet(d: str) -> bool:
+            for _root, _sub, files in os.walk(d):  # files sit under _bucket=K/
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
+
+        dirs = [d for d in dirs if _has_parquet(d)]
         # always the MAIN table's merge key: a level-1 spec may key on a
         # DERIVED expression (key_expr), which staged files don't carry
         key = self.main.keys[0]
+        if not dirs:
+            kf = next(f for f in self.main.schema.fields if f.name == key)
+            return self.spark.createDataFrame([], T.StructType([kf]))
         return self.spark.read.parquet(*dirs).select(key).distinct()
 
     def _pre_epoch_version(self, table: MicroLakeTable,

@@ -39,12 +39,16 @@ def discover_schema(spark: SparkSession, *log_dirs: str) -> T.StructType:
     (/root/reference/tap_github/tap.py:137-160).
 
     The per-dir homogeneity invariant is VERIFIED, not assumed (ADVICE
-    r3): a second file (the other end of the name sort — part names are
-    uuid-random, so "newest" is an arbitrary pick) must carry the same
-    column set, else discovery fails loudly instead of silently
-    dropping columns present only in unsampled files. Cost: at most
-    one extra footer read per dir."""
+    r3): the sampled file's column set is cross-checked against up to
+    7 more footers spread evenly across the name-sorted file list
+    (part names are uuid-random, so any single pick is arbitrary) via
+    KB-sized pyarrow footer reads — no Spark job. A dir that evolved
+    in place fails loudly instead of silently dropping the columns of
+    the unsampled generation; dirs small enough to matter (≤ 8 files)
+    are checked exhaustively."""
     import os
+
+    import pyarrow.parquet as pq
 
     fields: dict[str, T.StructField] = {}
     for d in log_dirs:
@@ -52,12 +56,17 @@ def discover_schema(spark: SparkSession, *log_dirs: str) -> T.StructType:
         if not files:
             continue
         sampled = spark.read.parquet(os.path.join(d, files[-1])).schema
-        if len(files) > 1:
-            other = spark.read.parquet(os.path.join(d, files[0])).schema
-            if {f.name for f in other.fields} != \
-                    {f.name for f in sampled.fields}:
+        names = {f.name for f in sampled.fields}
+        n = len(files)
+        probe_idx = sorted({round(i * (n - 1) / 7) for i in range(8)})
+        for i in probe_idx:
+            other = set(
+                pq.ParquetFile(os.path.join(d, files[i]))
+                .schema_arrow.names
+            )
+            if other != names:
                 raise ValueError(
-                    f"heterogeneous WAL dir {d}: '{files[0]}' and "
+                    f"heterogeneous WAL dir {d}: '{files[i]}' and "
                     f"'{files[-1]}' carry different column sets — a "
                     "schema evolution must land as a NEW log dir"
                 )
@@ -299,19 +308,20 @@ def stream(
             # Crucially they must ALSO run when the parent skipped (crash
             # landed between the parent commit and a derived commit →
             # restart re-delivers the batch, parent no-ops, the
-            # not-yet-committed levels still have to catch up).
+            # not-yet-committed levels still have to catch up). A
+            # catch-up failure FAILS the batch (no swallow): the
+            # checkpoint then re-delivers and the fences retry — the
+            # chaos soak showed that swallowing leaves a level
+            # permanently behind once the checkpoint commits. The
+            # nothing-staged case (empty epoch / vacuumed old stage) is
+            # handled inside affected_root_keys, which returns an empty
+            # key frame so each level fence-advances with an empty
+            # merge.
             behind = any(
                 t.last_committed_epoch < batch_id for t in maintainer.tables
             )
-            staged = res.events_in > 0 or res.skipped
-            if behind and staged:
-                try:
-                    maintainer.apply_epoch(batch_id)
-                except Exception:
-                    if not res.skipped:
-                        raise
-                    # skipped parent + unreadable stage (e.g. empty epoch
-                    # never staged) → nothing to catch up
+            if behind:
+                maintainer.apply_epoch(batch_id)
         seen["n"] += 1
         if fail_after_batches is not None and seen["n"] >= fail_after_batches:
             raise RuntimeError("injected failure for resumability test")

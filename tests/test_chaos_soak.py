@@ -1,0 +1,203 @@
+"""Chaos soak: ONE streaming run composing every engine feature the
+production topology would run together — MOR merge + in-stream bounded
+optimize + depth-3 rollup chain + incrementally-maintained text index —
+with randomized crash injection at every seam (before a merge commit,
+AFTER a merge commit, inside derived-level application) and a
+CONCURRENT maintenance loop racing the stream's commits, plus a
+change-feed replica synced mid-chaos. Every seam is tested pairwise
+elsewhere; this test exercises them COMPOSED (VERDICT r3 #9): after the
+chaos ends, all five tables must equal their independent full
+recomputes and the main table must match the DuckDB WAL oracle.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import time
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tap_github_search_spark.sources.generator import TURN_SPAN, write_changelog
+from tap_github_search_spark.streaming.derived import (
+    DerivedChain,
+    RollupMaintainer,
+    conv_rollup,
+    daily_rollup,
+    weekly_rollup,
+)
+from tap_github_search_spark.streaming.job import stream
+from tap_github_search_spark.streaming.replicate import ChangeFeedReplicator
+from tap_github_search_spark.table.microlake import MicroLakeTable
+from tests.test_text_index import _full_rebuild
+
+
+def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
+    write_changelog(spark, f"{tmp_dir}/log", 100, n_files=6, delete_pct=25,
+                    out_of_order_pct=30)
+    write_changelog(spark, f"{tmp_dir}/log_evolved", 20, n_files=2,
+                    evolved=True, seq_offset=100 * TURN_SPAN * 2)
+    paths = dict(
+        rollup_path=f"{tmp_dir}/roll", daily_rollup_path=f"{tmp_dir}/daily",
+        weekly_rollup_path=f"{tmp_dir}/weekly",
+        text_index_path=f"{tmp_dir}/idx",
+    )
+
+    # ---- chaos injection: deterministic RNG, every seam --------------
+    rng = random.Random(0xC0FFEE)
+    chaos = {"on": True, "crashes": 0}
+    real_merge = MicroLakeTable.merge
+    real_level = DerivedChain._apply_level
+
+    def chaos_merge(self, *a, **kw):
+        r = rng.random()
+        if chaos["on"] and r < 0.10:
+            chaos["crashes"] += 1
+            raise RuntimeError("chaos: crash BEFORE merge commit")
+        res = real_merge(self, *a, **kw)
+        if chaos["on"] and r > 0.93:
+            chaos["crashes"] += 1
+            # the nastiest seam: commit landed, crash before the
+            # checkpoint / downstream work — redelivery must no-op
+            raise RuntimeError("chaos: crash AFTER merge commit")
+        return res
+
+    def chaos_level(self, i, epoch, affected):
+        if chaos["on"] and rng.random() < 0.07:
+            chaos["crashes"] += 1
+            raise RuntimeError(f"chaos: crash entering level {i}")
+        return real_level(self, i, epoch, affected)
+
+    monkeypatch.setattr(MicroLakeTable, "merge", chaos_merge)
+    monkeypatch.setattr(DerivedChain, "_apply_level", chaos_level)
+
+    # ---- concurrent maintenance racing the stream's commits ----------
+    stop = threading.Event()
+    races = {"runs": 0}
+
+    def maintain_loop():
+        while not stop.is_set():
+            try:
+                t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+                t.optimize(max_generations=2, compact_batch=4,
+                           keep_versions=200, allow_rebucket=False)
+                races["runs"] += 1
+            except Exception:
+                pass  # table may not exist yet / lost race — retry
+            time.sleep(0.4)
+
+    maint_thread = threading.Thread(target=maintain_loop, daemon=True)
+    maint_thread.start()
+
+    # ---- the soak: restart until the chaos lets a pass finish --------
+    replicator = None
+    try:
+        completed = 0
+        for attempt in range(30):
+            if attempt >= 25:
+                chaos["on"] = False  # guarantee the tail drains
+            try:
+                stream(spark, [f"{tmp_dir}/log", f"{tmp_dir}/log_evolved"],
+                       f"{tmp_dir}/t", f"{tmp_dir}/ckpt", n_buckets=8,
+                       max_files_per_trigger=1, merge_mode="mor",
+                       compact_every=3, optimize_every=2,
+                       optimize_opts={"keep_versions": 200}, **paths)
+                completed += 1
+            except Exception:
+                continue
+            if replicator is None:
+                # mid-chaos: start mirroring through the change feed
+                replicator = ChangeFeedReplicator(
+                    spark, f"{tmp_dir}/t", f"{tmp_dir}/replica")
+                try:
+                    replicator.sync()
+                except Exception:
+                    pass
+            if completed >= 2:  # one clean drain after a clean drain
+                break
+        assert chaos["crashes"] >= 5, "chaos never actually fired"
+    finally:
+        stop.set()
+        maint_thread.join(timeout=10)
+    chaos["on"] = False
+    monkeypatch.setattr(MicroLakeTable, "merge", real_merge)
+    monkeypatch.setattr(DerivedChain, "_apply_level", real_level)
+
+    # final clean pass: drain anything left + catch every level up
+    table = stream(spark, [f"{tmp_dir}/log", f"{tmp_dir}/log_evolved"],
+                   f"{tmp_dir}/t", f"{tmp_dir}/ckpt", merge_mode="mor",
+                   compact_every=3, **paths)
+    replicator.sync()
+
+    # ---- 1) main table == DuckDB WAL oracle --------------------------
+    got = table.snapshot_df().toPandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    oracle = duckdb.sql(f"""
+      SELECT conv_id, turn_idx, role,
+             nfc_normalize(replace(text, chr(0), '')) AS text,
+             tool, ts, tool_version, lang
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, seq DESC) rn
+        FROM read_parquet(['{tmp_dir}/log/*.parquet',
+                           '{tmp_dir}/log_evolved/*.parquet'],
+                          union_by_name=true)
+      ) WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx
+    """).df()
+    got["ts"] = pd.to_datetime(got["ts"], utc=True)
+    oracle["ts"] = pd.to_datetime(oracle["ts"], utc=True)
+    pd.testing.assert_frame_equal(got[oracle.columns], oracle,
+                                  check_dtype=False)
+
+    # ---- 2-4) every rollup level == full recompute -------------------
+    maint = RollupMaintainer(spark, table, paths["rollup_path"],
+                             daily_path=paths["daily_rollup_path"],
+                             weekly_path=paths["weekly_rollup_path"])
+    assert (maint.child.last_committed_epoch
+            == maint.grandchild.last_committed_epoch
+            == maint.greatgrandchild.last_committed_epoch
+            == table.last_committed_epoch)
+
+    def canon(df, key):
+        pdf = df.toPandas().sort_values(key).reset_index(drop=True)
+        for c in pdf.columns:
+            if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+                pdf[c] = pd.to_datetime(pdf[c], utc=True)
+        return pdf[sorted(pdf.columns)]
+
+    snap = table.snapshot_df()
+    pd.testing.assert_frame_equal(
+        canon(maint.child.snapshot_df().drop("ts"), "conv_id"),
+        canon(conv_rollup(snap), "conv_id"), check_dtype=False)
+    pd.testing.assert_frame_equal(
+        canon(maint.grandchild.snapshot_df().drop("ts"), "day"),
+        canon(daily_rollup(conv_rollup(snap)), "day"), check_dtype=False)
+    pd.testing.assert_frame_equal(
+        canon(maint.greatgrandchild.snapshot_df().drop("ts"), "week"),
+        canon(weekly_rollup(daily_rollup(conv_rollup(snap))), "week"),
+        check_dtype=False)
+
+    # ---- 5) text index == full rebuild -------------------------------
+    idx = MicroLakeTable.load(spark, paths["text_index_path"])
+    gi = canon(idx.snapshot_df().drop("ts", "postings"), "token")
+    wi = canon(_full_rebuild(table).drop("postings"), "token")
+    pd.testing.assert_frame_equal(gi, wi, check_dtype=False)
+    # postings compare needs list coercion
+    gp = {r["token"]: list(r["postings"])
+          for r in idx.snapshot_df().collect()}
+    wp = {r["token"]: list(r["postings"])
+          for r in _full_rebuild(table).collect()}
+    assert gp == wp
+
+    # ---- 6) replica == source ----------------------------------------
+    rep = canon(replicator.replica.snapshot_df()
+                .drop("ts").withColumnRenamed("src_ts", "ts"),
+                ["conv_id", "turn_idx"])
+    src = canon(snap, ["conv_id", "turn_idx"])
+    pd.testing.assert_frame_equal(rep, src, check_dtype=False)
+
+    # the maintenance loop really ran against live commits
+    assert races["runs"] >= 1
