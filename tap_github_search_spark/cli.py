@@ -167,6 +167,11 @@ def _parser() -> argparse.ArgumentParser:
                     help="snapshots to retain (vacuum beyond)")
     mt.add_argument("--grace-seconds", type=float, default=3600.0,
                     help="never delete files younger than this")
+    mt.add_argument("--progressive", action="store_true",
+                    help="growth trigger starts an Iceberg-style "
+                         "progressive spec migration (metadata-only "
+                         "switch + bounded migrate rounds) instead of "
+                         "one full-table rewrite")
     mt.add_argument("--dry-run", action="store_true",
                     help="report decisions without acting")
 
@@ -353,6 +358,8 @@ def main(argv: list[str] | None = None) -> int:
             keep_versions=args.keep_versions,
             grace_seconds=args.grace_seconds,
             dry_run=args.dry_run,
+            allow_rebucket=not args.progressive,
+            progressive_rebucket=args.progressive,
         )
         print(json.dumps(report))
         return 0
