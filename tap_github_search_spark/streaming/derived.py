@@ -237,20 +237,37 @@ class DerivedChain:
             for d in os.listdir(data)
             if d.startswith(prefix) and "." not in d[len(prefix):]
         ]
-        def _has_parquet(d: str) -> bool:
-            for _root, _sub, files in os.walk(d):  # files sit under _bucket=K/
-                if any(f.endswith(".parquet") for f in files):
+        def _has_bucket_parquet(d: str) -> bool:
+            # staged rows always land under _bucket=K/ subdirs; an
+            # EMPTY staged epoch can leave a zero-row part file at the
+            # dir ROOT (no partition subdir), whose flat layout
+            # conflicts with the partitioned siblings at read time
+            # (CONFLICTING_DIRECTORY_STRUCTURES) — and contributes no
+            # keys anyway, so it is skipped along with empty dirs
+            for sub in os.listdir(d):
+                p = os.path.join(d, sub)
+                if (sub.startswith("_bucket=") and os.path.isdir(p)
+                        and any(x.endswith(".parquet")
+                                for x in os.listdir(p))):
                     return True
             return False
 
-        dirs = [d for d in dirs if _has_parquet(d)]
+        dirs = [d for d in dirs if _has_bucket_parquet(d)]
         # always the MAIN table's merge key: a level-1 spec may key on a
         # DERIVED expression (key_expr), which staged files don't carry
         key = self.main.keys[0]
         if not dirs:
             kf = next(f for f in self.main.schema.fields if f.name == key)
             return self.spark.createDataFrame([], T.StructType([kf]))
-        return self.spark.read.parquet(*dirs).select(key).distinct()
+        # basePath pins partition discovery to the data root: with TWO
+        # stage dirs for one epoch (a CAS-losing writer's orphan next
+        # to the winner's), Spark would otherwise treat the
+        # ``epoch=N-tag`` dir names themselves as conflicting
+        # partition directories (CONFLICTING_DIRECTORY_STRUCTURES)
+        return (
+            self.spark.read.option("basePath", data).parquet(*dirs)
+            .select(key).distinct()
+        )
 
     def _pre_epoch_version(self, table: MicroLakeTable,
                            epoch: int) -> MicroLakeTable | None:

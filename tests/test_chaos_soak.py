@@ -53,11 +53,11 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
 
     def chaos_merge(self, *a, **kw):
         r = rng.random()
-        if chaos["on"] and r < 0.10:
+        if chaos["on"] and r < 0.14:
             chaos["crashes"] += 1
             raise RuntimeError("chaos: crash BEFORE merge commit")
         res = real_merge(self, *a, **kw)
-        if chaos["on"] and r > 0.93:
+        if chaos["on"] and r > 0.90:
             chaos["crashes"] += 1
             # the nastiest seam: commit landed, crash before the
             # checkpoint / downstream work — redelivery must no-op
@@ -65,7 +65,7 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
         return res
 
     def chaos_level(self, i, epoch, affected):
-        if chaos["on"] and rng.random() < 0.07:
+        if chaos["on"] and rng.random() < 0.10:
             chaos["crashes"] += 1
             raise RuntimeError(f"chaos: crash entering level {i}")
         return real_level(self, i, epoch, affected)
@@ -78,11 +78,26 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     races = {"runs": 0}
 
     def maintain_loop():
+        flips = 0
         while not stop.is_set():
             try:
                 t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
-                t.optimize(max_generations=2, compact_batch=4,
-                           keep_versions=200, allow_rebucket=False)
+                # after a few rounds, START a progressive spec
+                # migration racing the live stream (tiny target forces
+                # the growth trigger): the metadata-only switch + the
+                # stream's stale table handle is exactly the CAS-race
+                # surface rebucket_start must survive — a stale merge
+                # loses the version race, crashes the stream, and the
+                # restart reloads the switched spec (forced MOR)
+                if races["runs"] >= 2 and flips == 0 \
+                        and not t.manifest.get("migration_pending"):
+                    t.rebucket_start(t.n_buckets * 2)
+                    flips += 1
+                elif t.manifest.get("migration_pending"):
+                    t.migrate_step(max_buckets=2)  # bounded rounds
+                else:
+                    t.optimize(max_generations=2, compact_batch=4,
+                               keep_versions=200, allow_rebucket=False)
                 races["runs"] += 1
             except Exception:
                 pass  # table may not exist yet / lost race — retry
@@ -117,7 +132,7 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
                     pass
             if completed >= 2:  # one clean drain after a clean drain
                 break
-        assert chaos["crashes"] >= 5, "chaos never actually fired"
+        assert chaos["crashes"] >= 3, "chaos never actually fired"
     finally:
         stop.set()
         maint_thread.join(timeout=10)
@@ -130,6 +145,15 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
                    f"{tmp_dir}/t", f"{tmp_dir}/ckpt", merge_mode="mor",
                    compact_every=3, **paths)
     replicator.sync()
+    # drain the progressive spec migration the maintenance loop started
+    # mid-stream; the table must end fully on the doubled spec with
+    # content identical to the oracle below
+    table = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    while table.migrate_step(max_buckets=8):
+        table = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    table = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert not table.manifest.get("migration_pending")
+    assert table.n_buckets == 16  # the mid-stream 8 -> 16 switch stuck
 
     # ---- 1) main table == DuckDB WAL oracle --------------------------
     got = table.snapshot_df().toPandas() \
