@@ -211,16 +211,26 @@ def discover_plan(spark, log_dirs: list[str], table_path: str | None) -> dict:
     }
     if table_path and os.path.exists(os.path.join(table_path, "_current")):
         table = MicroLakeTable.load(spark, table_path)
-        added = table._evolve_schema(payload)
+        evolve = table._evolve_schema(payload)
+        added = [f for kind, f in evolve if kind == "add"]
+        widened = [f for kind, f in evolve if kind == "widen"]
         plan["table"] = table_path
         plan["table_columns"] = [f.name for f in table.schema.fields]
         plan["add_columns"] = [
             {"name": f.name, "type": f.dataType.simpleString()}
             for f in added
         ]
+        plan["widen_columns"] = [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in widened
+        ]
         plan["ddl"] = [
             f"ALTER TABLE t ADD COLUMN {f.name} {f.dataType.simpleString()}"
             for f in added
+        ] + [
+            f"ALTER TABLE t ALTER COLUMN {f.name} TYPE "
+            f"{f.dataType.simpleString()}"
+            for f in widened
         ]
     else:
         plan["table"] = None

@@ -293,11 +293,26 @@ class MicroLakeTable:
 
     # ---------------- schema evolution ----------------
 
+    #: Iceberg's safe type promotions (ALTER COLUMN TYPE without data
+    #: rewrite): the parquet reader promotes narrow values at scan time
+    #: (int32 files read as long, float as double — verified on Spark 4)
+    _WIDENINGS = {("integer", "long"), ("float", "double")}
+
     def _evolve_schema(self, batch_schema: T.StructType) -> list[T.StructField]:
         """Diff incoming payload columns against the table schema; returns
-        the ADD COLUMN plan (applied at commit). Reference analog:
-        discovered dynamic schema → catalog
+        the ADD COLUMN / widen-type plan (applied at commit). Reference
+        analog: discovered dynamic schema → catalog
         (/root/reference/tap_github/organization_streams.py:912-1058).
+
+        Type evolution follows Iceberg's safe-promotion rules: a batch
+        column arriving WIDER than the table's (int→long, float→double)
+        widens the table schema metadata-only — old files keep their
+        narrow physical type and the parquet reader promotes at scan.
+        A batch column NARROWER than the table's is simply cast up by
+        the caller. Key / WAL-order columns never widen: ``turn_idx``'s
+        width participates in nothing here, but a key's hash bytes
+        would differ between int and long (``F.hash``), silently
+        remapping every bucket — refuse instead.
 
         With name-based column mapping (``rename_column`` /
         ``drop_column``) a batch column whose name is a PHYSICAL name
@@ -307,15 +322,29 @@ class MicroLakeTable:
         column coming back). Iceberg avoids this with field ids; a
         name-mapped table has to refuse the collision and ask the
         producer to pick a fresh name (stream_map rename upstream)."""
-        existing = {f.name for f in self.schema.fields}
+        existing = {f.name: f for f in self.schema.fields}
         skip = set(("op",) + LWW_ORDER) | set(META_COLS)
+        protected = set(self.keys) | skip
         mapping = self.manifest.get("renames", {})
         shadowed = set(mapping.values()) | set(
             self.manifest.get("dropped_physical", [])
         )
         added = []
         for f in batch_schema.fields:
-            if f.name in existing or f.name in skip:
+            if f.name in skip:
+                continue
+            if f.name in existing:
+                cur = existing[f.name].dataType
+                pair = (cur.typeName(), f.dataType.typeName())
+                if pair in self._WIDENINGS:
+                    if f.name in protected:
+                        raise ValueError(
+                            f"cannot widen key/ordering column "
+                            f"'{f.name}' ({pair[0]} -> {pair[1]}): key "
+                            "hash bytes would change and remap buckets"
+                        )
+                    added.append(("widen", T.StructField(
+                        f.name, f.dataType, nullable=True)))
                 continue
             if f.name in shadowed:
                 raise ValueError(
@@ -324,7 +353,8 @@ class MicroLakeTable:
                     "(renamed or dropped); re-adding it would resurrect "
                     "old data — rename it upstream"
                 )
-            added.append(T.StructField(f.name, f.dataType, nullable=True))
+            added.append(("add", T.StructField(f.name, f.dataType,
+                                               nullable=True)))
         return added
 
     # -------------- column mapping (rename / drop, no rewrite) --------
@@ -469,8 +499,12 @@ class MicroLakeTable:
         if epoch <= self.last_committed_epoch:
             return MergeResult(epoch=epoch, skipped=True)
 
-        added = self._evolve_schema(batch_df.schema)
-        evolved = T.StructType(list(self.schema.fields) + added)
+        plan = self._evolve_schema(batch_df.schema)
+        widen = {f.name: f for kind, f in plan if kind == "widen"}
+        evolved = T.StructType(
+            [widen.get(f.name, f) for f in self.schema.fields]
+            + [f for kind, f in plan if kind == "add"]
+        )
         payload_names = [f.name for f in evolved.fields]
 
         # 1. Within-batch LWW dedup + winner-only transform (vectorized
@@ -519,7 +553,13 @@ class MicroLakeTable:
                 winners = winners.withColumn(fld.name,
                                              F.lit(None).cast(fld.dataType))
         store = winners.select(
-            *payload_names,
+            # cast aligns batch column types to the evolved schema (a
+            # narrower producer casts UP; identity casts are elided by
+            # Catalyst, so matched types cost nothing)
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in evolved.fields
+            ],
             F.col("seq").alias("_seq"),
             (F.col("op") == "D").alias("_deleted"),
         ).withColumn("_bucket", self._bucket_expr(self.keys[0]))

@@ -370,3 +370,82 @@ def test_discover_schema_rejects_heterogeneous_dir(spark, tmp_dir):
         .write.mode("append").parquet(f"{tmp_dir}/log")
     with pytest.raises(ValueError, match="heterogeneous WAL dir"):
         discover_schema(spark, f"{tmp_dir}/log")
+
+
+def test_type_widening_schema_evolution(spark, tmp_dir):
+    """Iceberg-style safe type promotion: a batch column arriving WIDER
+    than the table's (int→long) widens the schema metadata-only — old
+    narrow parquet files are promoted at scan; narrower producers cast
+    up; key columns refuse to widen (their hash bytes would remap
+    every bucket)."""
+    from pyspark.sql import types as T
+
+    from tap_github_search_spark.table.microlake import murmur3_x86_32
+
+    def pick(bucket):
+        i = 0
+        while True:
+            k = f"w{i:03d}"
+            if murmur3_x86_32(k.encode()) % 2 == bucket:
+                return k
+            i += 1
+
+    ka, kb = pick(0), pick(1)  # disjoint buckets
+    payload = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("score", T.IntegerType()),
+    ])
+    t = MicroLakeTable.create(spark, f"{tmp_dir}/t", payload, n_buckets=2)
+    t.merge(
+        _events(spark, [(1, "I", ka, 0, 10)])
+        .withColumn("score", F.lit(7).cast("int")),
+        epoch=0,
+    )
+
+    # widening batch touches ONLY kb's bucket — ka's int file survives
+    t.merge(
+        _events(spark, [(2, "I", kb, 0, 20)])
+        .withColumn("score", F.lit(9_000_000_000).cast("long")),
+        epoch=1,
+    )
+    t2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    types = {f.name: f.dataType.typeName() for f in t2.schema.fields}
+    assert types["score"] == "long"
+    got = {r["conv_id"]: r["score"] for r in t2.snapshot_df().collect()}
+    assert got == {ka: 7, kb: 9_000_000_000}  # old int file promoted
+
+    # a narrower producer after the widening is cast up, not refused
+    t2.merge(
+        _events(spark, [(3, "U", ka, 0, 30)])
+        .withColumn("score", F.lit(5).cast("int")),
+        epoch=2,
+    )
+    t3 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert t3.lookup(ka).first()["score"] == 5
+    assert {f.name: f.dataType.typeName()
+            for f in t3.schema.fields}["score"] == "long"
+
+    # key columns never widen
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="widen key"):
+        t3.merge(
+            _events(spark, [(4, "U", ka, 0, 40)])
+            .withColumn("turn_idx", F.col("turn_idx").cast("long")),
+            epoch=3,
+        )
+
+    # discover surfaces the widen plan as DDL
+    from tap_github_search_spark.cli import discover_plan
+    _events(spark, [(9, "I", "x", 0, 1)]) \
+        .withColumn("score", F.lit(1).cast("long")) \
+        .write.mode("overwrite").parquet(f"{tmp_dir}/wlog")
+    t4 = MicroLakeTable.create(spark, f"{tmp_dir}/t4", payload, n_buckets=2)
+    plan = discover_plan(spark, [f"{tmp_dir}/wlog"], f"{tmp_dir}/t4")
+    assert plan["widen_columns"] == [{"name": "score", "type": "bigint"}]
+    assert any("ALTER COLUMN score TYPE bigint" in d for d in plan["ddl"])
+    del t4
