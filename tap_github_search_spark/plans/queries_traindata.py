@@ -1856,8 +1856,11 @@ def q_docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables) a pretraining pipeline derives for tokenizer merges
     and boilerplate detection. Two explodes + three map-side-combinable
     count aggregates; the unigram frame joins the bigram frame twice on
-    its word keys (broadcast — vocabulary ≪ corpus); final global
-    top-20 is a rank over the surviving collocations only."""
+    its word keys as PLAIN shuffle joins — at web scale the vocabulary
+    itself is huge, so no broadcast hint (AQE may still choose one from
+    runtime stats); the global top-20 is a TakeOrderedAndProject
+    (sort-free per-partition top-k + merge), never a single-partition
+    window over every surviving collocation."""
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     big = docs.select(
@@ -1884,10 +1887,10 @@ def q_docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_big.filter(F.col("n_ab") >= PMI_MIN_COUNT)
         .withColumn("wa", parts.getItem(0))
         .withColumn("wb", parts.getItem(1))
-        .join(F.broadcast(n_uni.withColumnRenamed("w", "wa")
-                          .withColumnRenamed("n_w", "n_a")), "wa")
-        .join(F.broadcast(n_uni.withColumnRenamed("w", "wb")
-                          .withColumnRenamed("n_w", "n_b")), "wb")
+        .join(n_uni.withColumnRenamed("w", "wa")
+              .withColumnRenamed("n_w", "n_a"), "wa")
+        .join(n_uni.withColumnRenamed("w", "wb")
+              .withColumnRenamed("n_w", "n_b"), "wb")
         .crossJoin(F.broadcast(t_uni))
         .crossJoin(F.broadcast(t_big))
         .withColumn(
@@ -1901,10 +1904,11 @@ def q_docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1_000_000,
         )
     )
+    top = scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(20)
+    # the rank window runs over the 20 retained rows only
     w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "bigram", "n_ab", "pmi")
     )
 
