@@ -148,3 +148,49 @@ def test_optimize_drives_progressive_migration(spark, tmp_dir):
     rep = t2.optimize(dry_run=True, keep_versions=500)
     assert any("migrate_step" in a for a in rep["actions"])
     assert MicroLakeTable.load(spark, table2.path).manifest["version"] == v
+
+
+def test_widening_during_pending_migration(spark, tmp_dir):
+    """Interaction: a type-widening batch lands WHILE a progressive
+    spec migration is pending — the widened schema must apply to both
+    old-spec and migrated files (reader promotion), and the migration
+    must carry the widened schema through."""
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    payload = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("score", T.IntegerType()),
+    ])
+    t = MicroLakeTable.create(spark, f"{tmp_dir}/t", payload, n_buckets=2)
+    t.merge(
+        _events(spark, [(i, "I", f"k{i:03d}", 0, 10 + i)
+                        for i in range(20)])
+        .withColumn("score", F.lit(7).cast("int")),
+        epoch=0,
+    )
+    t.rebucket_start(8)
+    t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    # widening batch mid-migration (forced MOR append)
+    t.merge(
+        _events(spark, [(100, "U", "k001", 0, 100)])
+        .withColumn("score", F.lit(9_000_000_000).cast("long")),
+        epoch=1,
+    )
+    t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert {f.name: f.dataType.typeName()
+            for f in t.schema.fields}["score"] == "long"
+    while t.migrate_step(max_buckets=1):
+        t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    t.compact()
+    t = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    got = {r["conv_id"]: r["score"] for r in t.snapshot_df().collect()}
+    assert got["k001"] == 9_000_000_000
+    assert all(v == 7 for k, v in got.items() if k != "k001")
+    assert len(got) == 20
