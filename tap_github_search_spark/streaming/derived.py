@@ -544,3 +544,179 @@ class RollupMaintainer:
 
     def apply_epoch(self, epoch: int) -> MergeResult:
         return self.chain.apply_epoch(epoch)
+
+
+# ------------------- stream-maintained LSH dedup index -------------------
+
+CONV_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("band_keys", T.ArrayType(T.StringType())),
+        T.StructField("ts", T.TimestampType()),    # epoch time (monotone)
+    ]
+)
+
+LSH_BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("band_key", T.StringType()),
+        T.StructField("n_convs", T.LongType()),
+        T.StructField("members", T.ArrayType(T.StringType())),
+        T.StructField("ts", T.TimestampType()),    # epoch time (monotone)
+    ]
+)
+
+#: per-band member-list cap (same contract as POSTINGS_CAP: counts stay
+#: exact, membership beyond the cap falls back to scanning)
+LSH_MEMBERS_CAP = 1_000
+
+#: MinHash family parameters for the transcript index (match the
+#: documents-side q_docs_minhash_lsh: 8 hashes, 4 bands x 2 rows)
+LSH_N_HASHES = 8
+LSH_BAND_SIZE = 2
+
+
+def _conv_signature_transform(df: DataFrame) -> DataFrame:
+    """Per-conversation MinHash signature + LSH band keys over the
+    assembled transcript (turns concatenated in turn_idx order, same
+    rendering as conv_transcript). sort_array(collect_list(struct))
+    keeps the aggregation hash-based; shingling/minhashing are narrow
+    per-row lambda expressions."""
+    from ..functions.textops import (
+        lsh_bands,
+        minhash_signature,
+        tokens,
+        word_shingles,
+    )
+
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role",
+                                                 "text")))
+    tx = F.array_join(
+        F.transform(turns, lambda t: F.concat_ws(": ", t["role"],
+                                                 t["text"])),
+        "\n",
+    )
+    from ..plans.common import stage_for_reuse
+
+    # stage the shingle frame before minhashing: CollapseProject would
+    # inline the tokenize→shingle→distinct pipeline into each of the
+    # LSH_N_HASHES interpreted minhash expressions (8× recompute)
+    sh = stage_for_reuse(
+        df.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"), tx.alias("_tx")
+        ).select(
+            "conv_id", "n_turns",
+            F.array_distinct(
+                word_shingles(tokens(F.lower(F.col("_tx"))))
+            ).alias("_sh"),
+        ).filter(
+            # a transcript too short to shingle has no signature — it
+            # is simply not indexed (its level-1 row deletes via
+            # `gone`)
+            F.size("_sh") > 0
+        )
+    )
+    sig = sh.select(
+        "conv_id", "n_turns",
+        *minhash_signature(F.col("_sh"), LSH_N_HASHES),
+    )
+    # band keys carry their band index prefix ("0:<md5>") so bands
+    # only collide WITHIN the same band position — the standard
+    # (band_idx, key) LSH bucketing, flattened into one string key
+    return sig.select(
+        "conv_id", "n_turns",
+        F.array(*[
+            F.concat(F.lit(f"{b}:"), col)
+            for b, col in enumerate(lsh_bands(LSH_N_HASHES,
+                                              LSH_BAND_SIZE))
+        ]).alias("band_keys"),
+    )
+
+
+def conv_signature_level(n_buckets: int = 16) -> LevelSpec:
+    return LevelSpec(
+        name="conv_signature", schema=CONV_SIG_SCHEMA, key="conv_id",
+        transform=_conv_signature_transform, key_expr=None,
+        n_buckets=n_buckets,
+    )
+
+
+def _lsh_band_transform(df: DataFrame) -> DataFrame:
+    """band_key → (exact member count, state-bounded member list):
+    the same bounded-aggregation shape as the text index
+    (capped_postings — the cap applies BEFORE collect_list, so a
+    boilerplate band never holds O(corpus) state)."""
+    from ..functions.textops import capped_postings
+
+    pairs = df.groupBy("band_key", "conv_id").agg(
+        F.count("*").alias("_n")
+    )
+    counts = pairs.groupBy("band_key").agg(
+        F.count("*").alias("n_convs")
+    )
+    members = capped_postings(pairs, "band_key", "conv_id",
+                              LSH_MEMBERS_CAP)
+    return counts.join(
+        members.withColumnRenamed("postings", "members"), "band_key"
+    )
+
+
+def lsh_band_level(n_buckets: int = 16) -> LevelSpec:
+    return LevelSpec(
+        name="lsh_bands", schema=LSH_BAND_SCHEMA, key="band_key",
+        transform=_lsh_band_transform,
+        key_expr=lambda: F.explode("band_keys"),
+        n_buckets=n_buckets,
+    )
+
+
+class LshIndexMaintainer:
+    """Incrementally-maintained MinHash-LSH NEAR-DUP INDEX over the
+    transcript table: a 2-level derived chain — per-conversation
+    signatures (level 1) feeding band-key buckets (level 2, EXPLODING
+    key_expr: one conversation dirties its 4 band keys, old AND new
+    when an update moves its signature). The dedup blocking structure
+    the batch queries build per run (q_docs_minhash_lsh) is here a
+    TABLE the CDC stream keeps current under the standard epoch
+    fences: per epoch only the touched conversations are re-signed and
+    only their bands re-aggregated — O(affected), not O(corpus).
+    Candidate retrieval is two bucket-pruned point reads, no scan."""
+
+    def __init__(self, spark: SparkSession, main: MicroLakeTable,
+                 base_path: str, n_buckets: int = 16):
+        self.chain = DerivedChain(spark, main, [
+            (conv_signature_level(n_buckets),
+             os.path.join(base_path, "signatures")),
+            (lsh_band_level(n_buckets),
+             os.path.join(base_path, "bands")),
+        ])
+
+    @property
+    def signatures(self) -> MicroLakeTable:
+        return self.chain.tables[0]
+
+    @property
+    def bands(self) -> MicroLakeTable:
+        return self.chain.tables[1]
+
+    @property
+    def tables(self) -> list[MicroLakeTable]:
+        return self.chain.tables
+
+    def apply_epoch(self, epoch: int) -> MergeResult:
+        return self.chain.apply_epoch(epoch)
+
+    def near_dup_candidates(self, conv_id: str) -> list[str]:
+        """LSH candidate set for one conversation: read its band keys
+        (one bucket-pruned point read), read those bands' member lists
+        (one bucket-pruned multi-key read), union minus self. Driver
+        materialization is bounded by bands × LSH_MEMBERS_CAP."""
+        row = self.signatures.lookup(conv_id).select("band_keys").first()
+        if row is None:
+            return []
+        keys = sorted(set(row["band_keys"]))
+        out: set[str] = set()
+        for r in self.bands.scan_keys(keys).select("members").collect():
+            out.update(r["members"])
+        out.discard(conv_id)
+        return sorted(out)

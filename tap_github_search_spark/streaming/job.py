@@ -219,6 +219,7 @@ def stream(
     optimize_every: int | None = None,
     optimize_opts: dict | None = None,
     text_index_path: str | None = None,
+    lsh_index_path: str | None = None,
     max_payload_bytes: int | None = None,
     stream_map: dict | None = None,
 ):
@@ -279,6 +280,11 @@ def stream(
 
         maintainers.append(TextIndexMaintainer(spark, table,
                                                text_index_path))
+    if lsh_index_path is not None:
+        from .derived import LshIndexMaintainer
+
+        maintainers.append(LshIndexMaintainer(spark, table,
+                                              lsh_index_path))
 
     seen = {"n": 0}
 
