@@ -154,6 +154,15 @@ def _parser() -> argparse.ArgumentParser:
     sr.add_argument("--token", action="append", required=True,
                     help="search token (repeatable; results per token)")
 
+    nd = sub.add_parser(
+        "near-dups",
+        help="LSH candidate lookup against the maintained near-dup index",
+    )
+    nd.add_argument("--index", required=True,
+                    help="lsh index base path (holds signatures/ + bands/)")
+    nd.add_argument("--conv", action="append", required=True,
+                    help="conversation id (repeatable)")
+
     mt = sub.add_parser(
         "maintain",
         help="auto-maintenance: compact/rebucket/vacuum per policy",
@@ -175,7 +184,7 @@ def _parser() -> argparse.ArgumentParser:
     mt.add_argument("--dry-run", action="store_true",
                     help="report decisions without acting")
 
-    for q in (rp, st, gn, dc, lk, fd, sr, mt):
+    for q in (rp, st, gn, dc, lk, fd, sr, nd, mt):
         q.add_argument("--cores", type=int, default=None,
                        help="local[N] when no external master is set")
     return p
@@ -353,6 +362,30 @@ def main(argv: list[str] | None = None) -> int:
             df = index.lookup(tok.lower())
             for row in df.toJSON().toLocalIterator():
                 print(row)
+        return 0
+
+    if args.mode == "near-dups":
+        # near-dup candidates from the stream-maintained LSH index:
+        # per conversation one bucket-pruned signature read + one
+        # bucket-pruned multi-key band read — no corpus scan
+        import os as _os
+
+        from .table.microlake import MicroLakeTable
+
+        sig = MicroLakeTable.load(spark, _os.path.join(args.index,
+                                                       "signatures"))
+        bands = MicroLakeTable.load(spark, _os.path.join(args.index,
+                                                         "bands"))
+        for cid in args.conv:
+            row = sig.lookup(cid).select("band_keys").first()
+            cands: set[str] = set()
+            if row is not None:
+                keys = sorted(set(row["band_keys"]))
+                for r in bands.scan_keys(keys).select("members").collect():
+                    cands.update(r["members"])
+                cands.discard(cid)
+            print(json.dumps({"conv_id": cid,
+                              "candidates": sorted(cands)}))
         return 0
 
     if args.mode == "maintain":

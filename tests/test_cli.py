@@ -244,3 +244,31 @@ def test_cli_search_reads_index_point_lookup(spark, tmp_dir, capsys):
     by_tok = {r["token"]: r for r in rows}
     assert sorted(by_tok["hello"]["postings"]) == ["c1", "c2"]
     assert by_tok["spark"]["postings"] == ["c2"]
+
+
+def test_cli_near_dups_candidate_lookup(spark, tmp_dir, capsys):
+    """near-dups CLI answers from the maintained LSH index with
+    bucket-pruned reads (no corpus scan)."""
+    import json as _json
+
+    from tap_github_search_spark.cli import main
+    from tap_github_search_spark.streaming.derived import LshIndexMaintainer
+    from tap_github_search_spark.streaming.job import replay
+    from tests.test_engine import _events
+
+    base = " ".join(f"w{i}" for i in range(30))
+    _events(spark, [(1, "I", "c1", 0, 10, base),
+                    (2, "I", "c2", 0, 11, base)]) \
+        .write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, res = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                        n_buckets=4)
+    maint = LshIndexMaintainer(spark, table, f"{tmp_dir}/lsh", n_buckets=4)
+    maint.apply_epoch(res[0].epoch)
+
+    rc = main(["near-dups", "--index", f"{tmp_dir}/lsh",
+               "--conv", "c1", "--conv", "absent"])
+    assert rc == 0
+    lines = [_json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    by_id = {r["conv_id"]: r["candidates"] for r in lines}
+    assert by_id == {"c1": ["c2"], "absent": []}
