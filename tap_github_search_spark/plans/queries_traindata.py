@@ -279,9 +279,20 @@ SQL_SIMHASH = _sql_simhash()
 
 def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: stopword-hit argmax over 4 languages with
-    deterministic priority tie-break; zero hits → 'und'."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
+    deterministic priority tie-break; zero hits → 'und'.
+
+    The token array is MATERIALIZED (stage_for_reuse) before the four
+    per-language hit filters: the argmax chain references each hit
+    count several times (predicates + total + tie-breaks), and
+    CollapseProject would inline the tokenizer into every one — ~9
+    re-tokenizations per row on the interpreted higher-order-function
+    path (the word_shingles trap, same family)."""
+    docs = stage_for_reuse(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+        )
+    )
+    toks = F.col("_toks")
     hits = {lang: lang_hits(toks, lang) for lang in LANG_PRIORITY}
     total = sum(list(hits.values())[1:], start=list(hits.values())[0])
     return docs.select(
