@@ -185,6 +185,46 @@ def run_suite(spark, sf_dir: str, table_root: str) -> dict:
     sus_sec = time.monotonic() - t0
     shutil.rmtree(f"{table_root}_sustained", ignore_errors=True)
 
+    # streaming-maintainer overhead (VERDICT r4 #8): the same streamed
+    # ingest with the FULL derived surface on (depth-3 rollup chain +
+    # inverted text index + LSH near-dup index, each epoch-fenced)
+    # vs maintainers off — the per-epoch maintenance tax the headline
+    # features cost, on a dedicated mid-size WAL (maintainer work is
+    # per-affected-conversation, so a corpus-scale WAL measures the
+    # indexes, not the merge).
+    from tap_github_search_spark.sources.generator import write_changelog
+    from tap_github_search_spark.streaming.job import stream
+
+    mnt_dir = "/root/repo/data/cdc/sustained/changelog_maint"
+    if not (os.path.isdir(mnt_dir)
+            and any(f.endswith(".parquet") for f in os.listdir(mnt_dir))):
+        write_changelog(spark, mnt_dir, 30_000, n_files=8,
+                        mutations_per_conv=4.0)
+    n_mnt = spark.read.parquet(mnt_dir).count()
+
+    def _streamed(with_maint: bool) -> float:
+        root = f"{table_root}_maint_{'on' if with_maint else 'off'}"
+        shutil.rmtree(root, ignore_errors=True)
+        kw = {}
+        if with_maint:
+            kw = dict(
+                rollup_path=f"{root}/roll",
+                daily_rollup_path=f"{root}/daily",
+                weekly_rollup_path=f"{root}/weekly",
+                text_index_path=f"{root}/idx",
+                lsh_index_path=f"{root}/lsh",
+            )
+        t0 = time.monotonic()
+        stream(spark, [mnt_dir], f"{root}/t", f"{root}/ckpt",
+               n_buckets=64, merge_mode="mor", max_files_per_trigger=2,
+               **kw)
+        sec = time.monotonic() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        return sec
+
+    plain_sec = _streamed(False)
+    maint_sec = _streamed(True)
+
     return {
         "sf": sf,
         "n_events": n_events,
@@ -192,6 +232,10 @@ def run_suite(spark, sf_dir: str, table_root: str) -> dict:
         "merge_events_per_sec": round(n_events / merge_sec, 1),
         "sustained_n_events": n_sus,
         "sustained_events_per_sec": round(n_sus / sus_sec, 1),
+        "maintainers_n_events": n_mnt,
+        "maintainers_off_events_per_sec": round(n_mnt / plain_sec, 1),
+        "maintainers_on_events_per_sec": round(n_mnt / maint_sec, 1),
+        "maintainers_overhead_x": round(maint_sec / plain_sec, 2),
         "queries": timings,
         "total_sec": round(sum(timings.values()), 3),
     }
@@ -292,6 +336,12 @@ def main() -> None:
                     "merge_events_per_sec": r["merge_events_per_sec"],
                     "sustained_n_events": r["sustained_n_events"],
                     "sustained_events_per_sec": r["sustained_events_per_sec"],
+                    "maintainers_n_events": r["maintainers_n_events"],
+                    "maintainers_off_events_per_sec":
+                        r["maintainers_off_events_per_sec"],
+                    "maintainers_on_events_per_sec":
+                        r["maintainers_on_events_per_sec"],
+                    "maintainers_overhead_x": r["maintainers_overhead_x"],
                     "cpus": cpus,
                     # contemporaneous memory-bandwidth gate: this VM's
                     # DRAM throughput swings 4-40× between sessions
@@ -319,8 +369,21 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
     results = {n: {"merge_sec": [], "cpu_stage_sec": []} for n in (8, 32)}
     n_events = None
+    # Gate-stability protocol (round-5): a cross-subprocess ratio is only
+    # meaningful if the VM's DRAM throttle held still across BOTH legs of
+    # a rep. Measure the memcpy gate before each leg and once after the
+    # pair; a rep self-qualifies only if max/min gate within the rep is
+    # <= 1.25 (the r4 session produced a CPU-stage "scaling" of 0.244 vs
+    # a same-session hardware CPU gate of 0.854 — physically impossible,
+    # explained only by the throttle window shifting between the two
+    # subprocesses; this check rejects such reps automatically).
+    GATE_DRIFT_MAX = float(os.environ.get("SPARK_GRAFT_GATE_DRIFT", "1.25"))
+    rep_gates: list[list[float]] = []
+    rep_stable: list[bool] = []
     for rep in range(reps):
+        gates = []
         for n in (8, 32):
+            gates.append(round(_memcpy_gbps(8), 2))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-worker", str(n)],
@@ -330,15 +393,29 @@ def main() -> None:
             n_events = r["n_events"]
             results[n]["merge_sec"].append(r["merge_sec"])
             results[n]["cpu_stage_sec"].append(r["cpu_stage_sec"])
+        gates.append(round(_memcpy_gbps(8), 2))
+        stable = max(gates) / max(min(gates), 1e-9) <= GATE_DRIFT_MAX
+        rep_gates.append(gates)
+        rep_stable.append(stable)
         print(f"# rep {rep}: "
               + ", ".join(
                   f"local[{n}] merge={results[n]['merge_sec'][-1]}s "
                   f"cpu={results[n]['cpu_stage_sec'][-1]}s"
                   for n in (8, 32)
-              ), file=sys.stderr, flush=True)
+              )
+              + f" gates={gates} {'STABLE' if stable else 'REJECTED'}",
+              file=sys.stderr, flush=True)
+
+    stable_idx = [i for i, ok in enumerate(rep_stable) if ok]
+    if not stable_idx:  # no rep self-qualified: report all, flag invalid
+        stable_idx = list(range(reps))
+        gates_passed = False
+    else:
+        gates_passed = True
 
     def _eps(n, key):
-        return round(n_events / min(results[n][key]), 1)
+        best = min(results[n][key][i] for i in stable_idx)
+        return round(n_events / best, 1)
 
     eps8, eps32 = _eps(8, "merge_sec"), _eps(32, "merge_sec")
     cpu8, cpu32 = _eps(8, "cpu_stage_sec"), _eps(32, "cpu_stage_sec")
@@ -359,6 +436,10 @@ def main() -> None:
         "hw_cpu_scaling_efficiency": round(cpu_eff, 3),
         "hw_membw_scaling_efficiency": round(mem_eff, 3),
         "fraction_of_membw_ceiling": round(eff / mem_eff, 3),
+        "gate_drift_max": GATE_DRIFT_MAX,
+        "gates_gbps_per_rep": rep_gates,
+        "reps_stable": rep_stable,
+        "gates_passed": gates_passed,
     }
     print(json.dumps(out))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -377,6 +458,10 @@ def main() -> None:
                 "hw_cpu_scaling_efficiency": cpu_eff,
                 "hw_membw_scaling_efficiency": mem_eff,
                 "fraction_of_membw_ceiling": eff / mem_eff,
+                "gate_drift_max": GATE_DRIFT_MAX,
+                "gates_gbps_per_rep": rep_gates,
+                "reps_stable": rep_stable,
+                "gates_passed": gates_passed,
                 "workload": {
                     "convs": SCALING_CONVS,
                     "mutations_per_conv": 40.0,
