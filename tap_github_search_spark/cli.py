@@ -162,6 +162,9 @@ def _parser() -> argparse.ArgumentParser:
                     help="lsh index base path (holds signatures/ + bands/)")
     nd.add_argument("--conv", action="append", required=True,
                     help="conversation id (repeatable)")
+    nd.add_argument("--min-jaccard", type=float, default=0.3,
+                    help="signature-agreement threshold for verified "
+                         "near_dups (est. Jaccard; default 0.3)")
 
     mt = sub.add_parser(
         "maintain",
@@ -372,20 +375,28 @@ def main(argv: list[str] | None = None) -> int:
 
         from .table.microlake import MicroLakeTable
 
+        from .streaming.derived import near_dups_from_tables
+
         sig = MicroLakeTable.load(spark, _os.path.join(args.index,
                                                        "signatures"))
         bands = MicroLakeTable.load(spark, _os.path.join(args.index,
                                                          "bands"))
         for cid in args.conv:
-            row = sig.lookup(cid).select("band_keys").first()
-            cands: set[str] = set()
-            if row is not None:
-                keys = sorted(set(row["band_keys"]))
-                for r in bands.scan_keys(keys).select("members").collect():
-                    cands.update(r["members"])
-                cands.discard(cid)
-            print(json.dumps({"conv_id": cid,
-                              "candidates": sorted(cands)}))
+            # band collisions verified by MinHash-signature agreement
+            # (VERDICT r4 #3): emit (candidate, est_jaccard), plus the
+            # raw blocking set for callers doing their own scoring
+            verified, raw = near_dups_from_tables(
+                sig, bands, cid, min_jaccard=args.min_jaccard,
+                with_raw=True,
+            )
+            print(json.dumps({
+                "conv_id": cid,
+                "near_dups": [
+                    {"conv_id": c, "est_jaccard": round(j, 4)}
+                    for c, j in verified
+                ],
+                "candidates": raw,
+            }))
         return 0
 
     if args.mode == "maintain":

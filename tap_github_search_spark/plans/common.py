@@ -69,3 +69,18 @@ def stage_for_reuse(df: DataFrame) -> DataFrame:
     if mode == "reliable":
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
+
+
+def half_up(col, k: int):
+    """Engine-identical half-up rounding to k decimal places:
+    ``floor(x * 10^k + 0.5) / 10^k``. Spark's ``round()`` is HALF_UP on
+    the decimal rendering, DuckDB's is round-half-even on the binary
+    double — they diverge exactly at the .5*10^-k boundaries, which a
+    ratio or moving average hits routinely. Both engines compute the
+    SAME IEEE floor of the same double (negative inputs included), so
+    this form hash-compares clean; pair it with
+    ``floor(x * 10^k + 0.5) / 10^k`` in the oracle SQL."""
+    from pyspark.sql import functions as F
+
+    p = 10 ** k
+    return F.floor(col * p + F.lit(0.5)) / p

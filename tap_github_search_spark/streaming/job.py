@@ -56,21 +56,60 @@ def discover_schema(spark: SparkSession, *log_dirs: str) -> T.StructType:
         if not files:
             continue
         sampled = spark.read.parquet(os.path.join(d, files[-1])).schema
-        names = {f.name for f in sampled.fields}
+        newest = {
+            f.name: str(f.type)
+            for f in pq.ParquetFile(os.path.join(d, files[-1]))
+            .schema_arrow
+        }
+        # in-place type widening tolerated iff it is one of the engine's
+        # declared safe promotions (the parquet reader promotes narrow
+        # files at scan under the wide schema, same as table evolution)
+        safe_widen = {("int32", "int64"), ("float", "double")}
+        promote: dict[str, T.DataType] = {}
         n = len(files)
         probe_idx = sorted({round(i * (n - 1) / 7) for i in range(8)})
         for i in probe_idx:
-            other = set(
-                pq.ParquetFile(os.path.join(d, files[i]))
-                .schema_arrow.names
-            )
-            if other != names:
+            other = {
+                f.name: str(f.type)
+                for f in pq.ParquetFile(os.path.join(d, files[i]))
+                .schema_arrow
+            }
+            if set(other) != set(newest):
                 raise ValueError(
                     f"heterogeneous WAL dir {d}: '{files[i]}' and "
                     f"'{files[-1]}' carry different column sets — a "
                     "schema evolution must land as a NEW log dir"
                 )
+            # ADVICE r4: names alone pass a dir whose column type
+            # evolved in place (int32 files beside int64 files) — the
+            # stream then reads under the newest file's type and the
+            # narrow/incompatible generation fails (or is misread) at
+            # stream time. Reject loudly at discovery instead, unless
+            # the pair is a declared safe widening in either direction
+            # (the read schema uses the wide side either way).
+            for col, typ in other.items():
+                cur = newest[col]
+                if typ == cur:
+                    continue
+                if (typ, cur) in safe_widen:
+                    continue
+                if (cur, typ) in safe_widen:
+                    # a NARROW newest file beside a wide older one: the
+                    # read schema must still be the wide side or the
+                    # wide files misread — promote the discovered field
+                    wide = {"int64": T.LongType(),
+                            "double": T.DoubleType()}[typ]
+                    promote[col] = wide
+                    continue
+                raise ValueError(
+                    f"heterogeneous WAL dir {d}: column '{col}' is "
+                    f"{typ} in '{files[i]}' but {cur} in "
+                    f"'{files[-1]}' — not a safe widening; a type "
+                    "change must land as a NEW log dir"
+                )
         for f in sampled.fields:
+            if f.name in promote:
+                f = T.StructField(f.name, promote[f.name], f.nullable)
             fields.setdefault(f.name, f)
     return T.StructType(list(fields.values()))
 

@@ -345,6 +345,20 @@ class MicroLakeTable:
                         )
                     added.append(("widen", T.StructField(
                         f.name, f.dataType, nullable=True)))
+                elif pair[0] != pair[1] and pair[::-1] not in self._WIDENINGS:
+                    # ADVICE r4: anything that is not equal, a safe
+                    # widening, or the narrow side of one (which merge
+                    # upcasts losslessly) means a broken producer — a
+                    # string where the table has int, a double where it
+                    # has long. Silently casting would null or mangle
+                    # values depending on ANSI mode; refuse loudly, the
+                    # same contract as the shadowed-physical refusal.
+                    raise ValueError(
+                        f"incompatible type for column '{f.name}': "
+                        f"table has {pair[0]}, batch sends {pair[1]} "
+                        "(not a safe promotion — fix the producer or "
+                        "cast explicitly upstream)"
+                    )
                 continue
             if f.name in shadowed:
                 raise ValueError(
@@ -1031,6 +1045,26 @@ class MicroLakeTable:
                     )
                 except ConcurrentCommitError:
                     report["actions"].append("migrate_step lost commit race")
+            # ADVICE r4: a long migration forces MOR on every epoch's
+            # merge, so generation pileup grows for its whole duration
+            # if the policy loop only migrates. Run the same bounded
+            # compact here — safe mid-migration because compact keeps
+            # read_dedup set while migration_pending (the flag-clear is
+            # guarded), so read amplification stays bounded for streams
+            # driven by optimize_every alone.
+            if pileup:
+                n = min(len(pileup), compact_batch)
+                report["actions"].append(
+                    f"compact {n}/{len(pileup)} buckets "
+                    f"(>{max_generations} generations, mid-migration)"
+                )
+                if not dry_run:
+                    try:
+                        report["compacted_buckets"] = self.compact(
+                            max_buckets=compact_batch
+                        )
+                    except ConcurrentCommitError:
+                        report["actions"].append("compact lost commit race")
         elif want_rebucket and allow_rebucket:
             new_n = self.n_buckets
             while total_bytes / new_n > target_bucket_bytes:
@@ -1607,6 +1641,21 @@ class MicroLakeTable:
         if not full_scan:
             rebucket_v = int(new.manifest.get("last_rebucket_version", -1))
             if old.n_buckets != new.n_buckets or rebucket_v > from_version:
+                full_scan = True
+            elif old.manifest.get("migration_pending"):
+                # Progressive-migration fence: migrate_step (and compact
+                # while a migration is pending) relocates old-spec rows
+                # into current-spec bucket files WITHOUT lineage rows and
+                # without bumping last_rebucket_version. If the interval
+                # starts while the migration is in flight, keys moved
+                # later in the interval sit in old-spec files on the old
+                # side (always included by _snapshot_buckets) but in
+                # unselected new-spec buckets on the new side — phantom
+                # deletes. migration_pending at from_version is implied
+                # by ANY cross-spec movement inside the interval
+                # (rebucket_start inside it is already fenced above), so
+                # forcing the spec-independent full diff here is
+                # sufficient as well as necessary-only-when-pending.
                 full_scan = True
 
         # Metadata-expiry fence: lineage rows at or below this epoch

@@ -270,5 +270,11 @@ def test_cli_near_dups_candidate_lookup(spark, tmp_dir, capsys):
     assert rc == 0
     lines = [_json.loads(x) for x in
              capsys.readouterr().out.strip().splitlines()]
-    by_id = {r["conv_id"]: r["candidates"] for r in lines}
-    assert by_id == {"c1": ["c2"], "absent": []}
+    by_id = {r["conv_id"]: r for r in lines}
+    assert by_id["c1"]["candidates"] == ["c2"]
+    # exact dup: verified near_dups carry est_jaccard 1.0
+    assert by_id["c1"]["near_dups"] == [
+        {"conv_id": "c2", "est_jaccard": 1.0}
+    ]
+    assert by_id["absent"]["candidates"] == []
+    assert by_id["absent"]["near_dups"] == []

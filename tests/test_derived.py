@@ -310,3 +310,43 @@ def test_three_level_chain_crash_between_levels_2_and_3(
     )
     exp_w = _weekly_canon(weekly_rollup(full_daily).toPandas())
     pd.testing.assert_frame_equal(got_w, exp_w, check_dtype=False)
+
+
+def test_vacuumed_stage_with_lagging_level_raises(spark, tmp_dir):
+    """ADVICE r4: 'stage dir missing' is benign only when the epoch
+    staged nothing or every level committed it. If maintenance outran
+    the chain (compact dropped the staged files from the manifest, then
+    vacuum deleted them) while a level still needs the epoch, the chain
+    must FAIL the batch, not silently fence-advance past the epoch's
+    changes. The main table's lineage (rows ⟺ data staged) is the
+    witness."""
+    import os
+    import shutil
+
+    import pytest
+
+    write_changelog(spark, f"{tmp_dir}/log", 60, n_files=4, delete_pct=10)
+    table, results = replay(spark, [f"{tmp_dir}/log"], f"{tmp_dir}/t",
+                            n_buckets=4, n_epochs=2)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/rollup")
+    maint.apply_epoch(results[0].epoch)
+
+    # simulate vacuum deleting epoch-1's staged files while the rollup
+    # level has NOT committed that epoch
+    ep = results[1].epoch
+    data = os.path.join(table.path, "data")
+    pre = f"epoch={ep}-"
+    for d in list(os.listdir(data)):
+        # stage dirs only (rewrite/compact dirs carry a dotted suffix
+        # and stay manifest-referenced — vacuum would never drop those)
+        if d.startswith(pre) and "." not in d[len(pre):]:
+            shutil.rmtree(os.path.join(data, d))
+    with pytest.raises(RuntimeError, match="compacted/vacuumed"):
+        maint.apply_epoch(ep)
+
+    # an epoch that GENUINELY staged nothing (no lineage rows) still
+    # advances the fence with an empty merge — totality is preserved
+    # for empty batches and fully-committed redeliveries
+    res = maint.apply_epoch(ep + 7)
+    assert not res.skipped
+    assert maint.child.last_committed_epoch == ep + 7

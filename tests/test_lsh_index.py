@@ -64,10 +64,14 @@ def test_near_dups_found_and_membership_migrates(spark, tmp_dir):
     maint = LshIndexMaintainer(spark, table, f"{tmp_dir}/lsh", n_buckets=4)
     maint.apply_epoch(res[0].epoch)
 
-    assert maint.near_dup_candidates("c1") == ["c2"]
-    assert maint.near_dup_candidates("c2") == ["c1"]
+    # verified results carry (conv_id, est_jaccard); exact dups agree
+    # on every MinHash position → est 1.0
+    assert maint.near_dup_candidates("c1") == [("c2", 1.0)]
+    assert maint.near_dup_candidates("c2") == [("c1", 1.0)]
     assert maint.near_dup_candidates("c3") == []
     assert maint.near_dup_candidates("nope") == []
+    # raw blocking set (unverified) still available
+    assert maint.near_dup_candidates("c1", min_jaccard=None) == ["c2"]
 
     # c2 rewritten to unrelated text: bands migrate — c1 loses its
     # candidate, c2 now collides with c3 instead
@@ -75,13 +79,80 @@ def test_near_dups_found_and_membership_migrates(spark, tmp_dir):
                      epoch=1)
     maint.apply_epoch(r1.epoch)
     assert maint.near_dup_candidates("c1") == []
-    assert maint.near_dup_candidates("c2") == ["c3"]
+    assert maint.near_dup_candidates("c2") == [("c3", 1.0)]
 
     # deleting c3 prunes it from its bands
     r2 = table.merge(_events(spark, [(5, "D", "c3", 0, 30)]), epoch=2)
     maint.apply_epoch(r2.epoch)
     assert maint.near_dup_candidates("c2") == []
     assert maint.signatures.lookup("c3").count() == 0
+
+
+def test_band_collision_false_positive_is_filtered(spark, tmp_dir):
+    """A pair colliding in SOME band but with low overall signature
+    agreement is a candidate, not a near-dup: verification must drop
+    it while keeping a genuinely similar pair. The fixture searches
+    deterministic text pairs for a planted single-band collision with
+    low total MinHash agreement (band size 2 of 8 hashes ⇒ collisions
+    with only 2/8 positions agreeing exist in quantity)."""
+    from tap_github_search_spark.functions.textops import (
+        lsh_bands,
+        minhash_signature,
+        tokens,
+        word_shingles,
+    )
+
+    # find a false-positive pair among small deterministic corpora:
+    # texts sharing a MINORITY of tokens that still collide in a band.
+    # The offline signature search MUST mirror the index's input
+    # rendering — the assembled transcript line "role: text" — or the
+    # planted collision lands in a different signature space.
+    texts = {}
+    base_words = [f"w{i}" for i in range(12)]
+    for v in range(40):
+        words = list(base_words[:4]) + [f"v{v}_{j}" for j in range(8)]
+        texts[f"t{v}"] = " ".join(words)
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["conv_id", "text"]
+    )
+    rendered = F.concat(F.lit("user: "), F.col("text"))
+    sig = df.select(
+        "conv_id",
+        *minhash_signature(
+            F.array_distinct(word_shingles(tokens(F.lower(rendered)))),
+            8,
+        ),
+    ).select(
+        "conv_id",
+        F.array(*[F.concat(F.lit(f"{b}:"), c)
+                  for b, c in enumerate(lsh_bands(8, 2))]).alias("bands"),
+        F.array(*[F.col(f"mh{i}") for i in range(8)]).alias("mh"),
+    ).collect()
+    fp = None
+    for i, a in enumerate(sig):
+        for b in sig[i + 1:]:
+            shared_bands = set(a["bands"]) & set(b["bands"])
+            agree = sum(x == y for x, y in zip(a["mh"], b["mh"]))
+            if shared_bands and agree / 8 < 0.3:
+                fp = (a["conv_id"], b["conv_id"])
+                break
+        if fp:
+            break
+    assert fp is not None, "fixture failed to plant a band collision"
+
+    rows = [(i + 1, "I", cid, 0, 10 + i, texts[cid])
+            for i, cid in enumerate(texts)]
+    _events(spark, rows).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, res = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                        n_buckets=4)
+    maint = LshIndexMaintainer(spark, table, f"{tmp_dir}/lsh", n_buckets=4)
+    maint.apply_epoch(res[0].epoch)
+
+    a, b = fp
+    # unverified: the collision IS in the blocking set
+    assert b in maint.near_dup_candidates(a, min_jaccard=None)
+    # verified: the false positive is filtered out
+    assert b not in [c for c, _ in maint.near_dup_candidates(a)]
 
 
 def test_streaming_lsh_index_crash_restart(spark, tmp_dir):

@@ -109,19 +109,31 @@ def test_registry_nonempty():
 
 def test_driver_prefix_samples_priority_ops():
     """The round driver checks the first 50 registry entries (stable
-    insertion-order prefix, observed r1-r3). Guard the curated order:
-    the prefix must carry the CDC headline path and every operator
-    that has not yet had a driver CORRECTNESS row."""
+    insertion-order prefix, observed r1-r4). Guard the r5 curation
+    (VERDICT r4 'Next round' #1): the prefix carries the CDC headline
+    path, the 24 entries whose last driver row was r2/r3 (rotated back
+    in for re-verification — tpch_pricing / tpch_local_supplier had
+    their oracles rewritten with no driver row since), every entry
+    MODIFIED this round (rounding idiom, CC rewrite), and every
+    never-driver-checked NEW entry."""
     from tap_github_search_spark.plans.queries import _DRIVER_PRIORITY
 
     names = list(REGISTRY)
     assert names[:len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     assert len(_DRIVER_PRIORITY) == 50
     must_sample = {
-        "cdc_replay_transcripts", "cdc_change_feed", "cdc_replica_roundtrip",
-        "conv_quality", "conv_training_examples", "docs_token_df",
-        "docs_dedup_clusters", "docs_curation_pipeline",
-        "docs_pack_sequences", "emb_quantize_int8", "docs_inverted_index",
-        "docs_contamination", "docs_tfidf_topterms", "conv_tool_stats",
+        # CDC headline
+        "cdc_replay_transcripts", "cdc_change_feed",
+        "cdc_replica_roundtrip",
+        # stale-oracle re-verification block (r2/r3-last)
+        "tpch_pricing", "tpch_local_supplier", "conv_transcript_pandas",
+        "cdc_replay_salted", "docs_token_stats", "docs_length_quantiles",
+        "docs_ngram_jaccard_pairs", "emb_near_dup_pairs", "set_ops_keys",
+        "nested_two_level_unnest", "docs_oversize_guard",
+        # modified this round
+        "topk_events", "emb_cosine_topk", "docs_dedup_clusters",
+        "emb_ivf_ann",
+        # new r5 (never driver-checked)
+        "emb_ivf_ann_multiprobe", "emb_dedup_clusters",
     }
     assert must_sample <= set(names[:50])

@@ -194,3 +194,39 @@ def test_widening_during_pending_migration(spark, tmp_dir):
     assert got["k001"] == 9_000_000_000
     assert all(v == 7 for k, v in got.items() if k != "k001")
     assert len(got) == 20
+
+def test_change_feed_bookmark_mid_migration_no_phantom_deletes(
+        spark, tmp_dir):
+    """ADVICE r4 (high): a bookmark taken AFTER rebucket_start but
+    BEFORE the migration completes must not yield phantom deletes.
+    migrate_step relocates old-spec rows to current-spec bucket files
+    without lineage and without bumping last_rebucket_version, so the
+    naive incremental diff sees the moved keys on the old side (old-spec
+    files always included) but not on the bucket-restricted new side.
+    The fence: migration_pending at from_version forces the
+    spec-independent full diff."""
+    table = _seed(spark, tmp_dir)
+    table.rebucket_start(8)
+    t = MicroLakeTable.load(spark, table.path)
+
+    # one real change inside the interval, then the bookmark
+    t.merge(_events(spark, [(500, "U", "k007", 0, 500, "mid")]), epoch=1)
+    t = MicroLakeTable.load(spark, table.path)
+    v_bookmark = t.manifest["version"]
+    assert t.manifest["migration_pending"]  # bookmark is mid-migration
+
+    # another change after the bookmark, then migrate to completion
+    t.merge(_events(spark, [(600, "U", "k009", 0, 600, "late")]), epoch=2)
+    t = MicroLakeTable.load(spark, table.path)
+    while t.migrate_step(max_buckets=1):
+        t = MicroLakeTable.load(spark, table.path)
+    t = MicroLakeTable.load(spark, table.path)
+    assert not t.manifest.get("migration_pending")
+
+    feed = t.change_feed(v_bookmark).collect()
+    full = t.change_feed(v_bookmark, full_scan=True).collect()
+    key = lambda r: (r["conv_id"], r["_change_type"], r["text"])
+    assert sorted(map(key, feed)) == sorted(map(key, full))
+    # exactly the post-bookmark update — and zero deletes of any kind
+    assert {(r["conv_id"], r["_change_type"]) for r in feed} == \
+        {("k009", "update")}

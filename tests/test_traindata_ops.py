@@ -254,3 +254,132 @@ def test_thumbnail_pipeline_with_fake_decoder(spark):
     import pytest
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8", "jpeg")
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """VERDICT r4 #5: a deliberately deep CHAIN (diameter 40 — twice
+    the round cap) must converge under CC_MAX_ROUNDS=20 thanks to the
+    pointer-jumping shortcut (plain hash-min would need 40 rounds and
+    previously only WARNED). Labels must be the per-component min."""
+    from tap_github_search_spark.plans.queries_traindata import (
+        CC_MAX_ROUNDS,
+        min_label_components,
+    )
+
+    assert CC_MAX_ROUNDS == 20  # the round cap is unchanged
+    n = 41
+    ids = [f"d{i:02d}" for i in range(n)]
+    nodes = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    chain = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], ["src", "dst"]
+    )
+    got = {r["doc_id"]: r["lbl"]
+           for r in min_label_components(nodes, edges).collect()}
+    assert got == {i: "d00" for i in ids}
+
+    # two components + isolated nodes keep distinct minimal labels
+    e2 = [("b", "c"), ("c", "d"), ("x", "y")]
+    nodes2 = spark.createDataFrame(
+        [(i,) for i in ["a", "b", "c", "d", "x", "y"]], ["doc_id"]
+    )
+    edges2 = spark.createDataFrame(
+        e2 + [(b, a) for a, b in e2], ["src", "dst"]
+    )
+    got2 = {r["doc_id"]: r["lbl"]
+            for r in min_label_components(nodes2, edges2).collect()}
+    assert got2 == {"a": "a", "b": "b", "c": "b", "d": "b",
+                    "x": "x", "y": "x"}
+
+    # the cap still fails loudly when genuinely unreachable
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(nodes, edges, max_rounds=2)
+
+
+def test_ivf_multiprobe_recall(spark):
+    """VERDICT r4 #4: measured recall accounting for the IVF index.
+    recall@3 vs the exact cosine scan must improve from nprobe=1
+    (own cell only) to nprobe=IVF_NPROBE (centroid-ranked cells), and
+    the multi-probe result must recover most of the exact answer."""
+    from tap_github_search_spark.plans.queries import q_emb_cosine_topk
+    from tap_github_search_spark.plans.queries_traindata import (
+        q_emb_ivf_ann,
+        q_emb_ivf_ann_multiprobe,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact: dict[int, set] = {}
+    for r in q_emb_cosine_topk(spark, sf_dir).collect():
+        if r["rank"] <= 3:
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
+        ) / len(exact)
+
+    r1 = recall(q_emb_ivf_ann(spark, sf_dir))
+    rp = recall(q_emb_ivf_ann_multiprobe(spark, sf_dir))
+    print(f"ivf recall@3: nprobe=1 {r1:.3f} -> nprobe=4 {rp:.3f}")
+    assert rp >= r1
+    assert rp >= 0.6  # multi-probe recovers the bulk of the exact set
+
+
+def test_ivf_sample_trained_path(spark, monkeypatch):
+    """SPARK_GRAFT_IVF_SAMPLE trains the quantizer on a deterministic
+    1/k hash-sample (the 100 TB shape) while still assigning and
+    probing the full corpus — the query keeps its contract (every
+    query gets ranked neighbors) and is deterministic across runs."""
+    from tap_github_search_spark.plans.queries_traindata import (
+        q_emb_ivf_ann,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF_SAMPLE", "4")
+    a = q_emb_ivf_ann(spark, "/root/testdata/sf0.001").collect()
+    b = q_emb_ivf_ann(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a and all(1 <= r["rank"] <= 3 for r in a)
+    qids = {r["query_id"] for r in a}
+    assert qids == set(range(10)) & qids  # only real queries
+
+
+def test_collapse_project_trap_guard(spark):
+    """VERDICT r4 #9: two rounds hit the same interpreter trap — an
+    unbound token-array expression re-inlined by CollapseProject into
+    every element_at / hit-filter on the interpreted HOF path (15×
+    word_shingles, ~9× docs_lang_id). Guard the plan SHAPE so a Spark
+    upgrade or refactor can't silently reintroduce it:
+
+    1. word_shingles must BIND its input to a lambda variable — the
+       tokenizer expression appears ONCE in the generated expression
+       SQL, not once per element_at.
+    2. q_docs_lang_id must keep the token array materialized
+       (stage_for_reuse) — its optimized plan re-tokenizes at most
+       once, not once per language filter."""
+    from tap_github_search_spark.functions.textops import (
+        tokens,
+        word_shingles,
+    )
+    from tap_github_search_spark.plans.queries_traindata import (
+        q_docs_lang_id,
+    )
+
+    expr_sql = str(word_shingles(tokens(F.col("text"))))
+    n_splits = expr_sql.count("split(")
+    assert n_splits <= 2, (
+        f"word_shingles expression re-inlines the tokenizer "
+        f"{n_splits}x — the lambda binding was removed"
+    )
+
+    df = q_docs_lang_id(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_plan_splits = plan.count("split(")
+    assert n_plan_splits <= 1, (
+        f"docs_lang_id optimized plan tokenizes {n_plan_splits}x — "
+        "the staged token frame was removed (CollapseProject trap)"
+    )
