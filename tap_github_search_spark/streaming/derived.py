@@ -195,9 +195,10 @@ class DerivedChain:
         if not levels:
             raise ValueError("a derived chain needs at least one level")
         # level 1 MAY declare a key_expr: its key is then derived from
-        # main-table rows instead of being the merge key itself (e.g.
-        # the inverted text index, whose key_expr EXPLODES each turn
-        # into its tokens — one parent row dirtying many derived keys)
+        # main-table rows instead of being the merge key itself (an
+        # exploding key_expr makes one parent row dirty many derived
+        # keys — the text-index and LSH-band levels; a struct-valued
+        # key_expr additionally carries payload, see _attach_key)
         if any(spec.key_expr is None for spec, _ in levels[1:]):
             raise ValueError("levels past the first need a key_expr")
         self.spark = spark
@@ -342,6 +343,20 @@ class DerivedChain:
         n = affected.limit(limit + 1).count()
         return F.broadcast(affected) if n <= limit else affected
 
+    @staticmethod
+    def _attach_key(df: DataFrame, spec: LevelSpec) -> DataFrame:
+        """Attach a level's key to parent rows via its ``key_expr``. The
+        expr may return the key column itself OR an exploded STRUCT
+        carrying the key plus payload fields (e.g. the text-index level
+        explodes stored (token, n_turns) pairs from conv_tokens rows);
+        struct fields are flattened into columns, so the transform sees
+        the payload without re-deriving it."""
+        cols = df.columns
+        out = df.withColumn("_gen", spec.key_expr())
+        if isinstance(out.schema["_gen"].dataType, T.StructType):
+            return out.select(*cols, "_gen.*")
+        return out.withColumnRenamed("_gen", spec.key)
+
     def _affected_keys(self, parent: MicroLakeTable, parent_key: str,
                        spec: LevelSpec, affected_parent: DataFrame,
                        epoch: int) -> DataFrame:
@@ -350,20 +365,15 @@ class DerivedChain:
         the parent's last pre-epoch snapshot (time travel) — a parent
         row whose derived key moved dirties both its old and new
         group."""
-        key = spec.key_expr().alias(spec.key)
         aff = self._maybe_broadcast(affected_parent)
-        cur = (
-            parent.snapshot_df()
-            .join(aff, parent_key)
-            .select(key)
-        )
+        cur = self._attach_key(
+            parent.snapshot_df().join(aff, parent_key), spec
+        ).select(spec.key)
         prev = self._pre_epoch_version(parent, epoch)
         if prev is not None:
-            old = (
-                prev.snapshot_df()
-                .join(aff, parent_key)
-                .select(key)
-            )
+            old = self._attach_key(
+                prev.snapshot_df().join(aff, parent_key), spec
+            ).select(spec.key)
             cur = cur.unionByName(old)
         return cur.distinct()
 
@@ -401,7 +411,7 @@ class DerivedChain:
         parent = self.main if i == 0 else self.tables[i - 1]
         live = parent.snapshot_df()
         if spec.key_expr is not None:
-            live = live.withColumn(spec.key, spec.key_expr())
+            live = self._attach_key(live, spec)
         # Only affected keys are read back; a small affected set is
         # broadcast so the probe stays local, a bulk-epoch set falls
         # back to a shuffle join (_maybe_broadcast guard).
@@ -445,6 +455,20 @@ TEXT_INDEX_SCHEMA = T.StructType(
     ]
 )
 
+CONV_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        # per-conversation distinct tokens with the count of turns each
+        # appears in — bounded by the conversation's own size (the same
+        # state class as transcript assembly)
+        T.StructField("tokens", T.ArrayType(T.StructType([
+            T.StructField("token", T.StringType()),
+            T.StructField("n_turns", T.LongType()),
+        ]))),
+        T.StructField("ts", T.TimestampType()),     # epoch time (monotone)
+    ]
+)
+
 #: postings-list cap per token: stop-word-grade tokens would otherwise
 #: accumulate postings proportional to corpus size inside ONE row.
 #: Capped tokens keep exact n_convs/n_turns counts; membership beyond
@@ -453,17 +477,46 @@ TEXT_INDEX_SCHEMA = T.StructType(
 POSTINGS_CAP = 10_000
 
 
-def _token_col() -> Column:
+def conv_token_pairs(live_turns: DataFrame) -> DataFrame:
+    """(conv_id, token, n_turns) pairs from live turns: distinct tokens
+    per turn, counted per conversation. The ONLY place index
+    maintenance tokenizes text."""
     from ..functions.textops import tokens
 
-    return F.explode(F.array_distinct(tokens(F.lower(F.col("text")))))
+    return (
+        live_turns.select(
+            "conv_id",
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.col("text"))))
+            ).alias("token"),
+        )
+        .groupBy("conv_id", "token")
+        .agg(F.count("*").alias("n_turns"))
+    )
 
 
-def _index_transform(postings_cap: int):
-    """token → (exact df counts, state-bounded postings).
+def _conv_tokens_transform(df: DataFrame) -> DataFrame:
+    """Level-1 transform: one row per conversation holding its distinct
+    (token, n_turns) pairs, sorted for deterministic file content."""
+    return conv_token_pairs(df).groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("token", "n_turns"))
+        ).alias("tokens")
+    )
 
-    Counts come from a (token, conv_id)-keyed pre-aggregate whose
-    buffers are constant-width, then a map-side-combinable rollup —
+
+def conv_tokens_level() -> LevelSpec:
+    return LevelSpec(
+        name="conv_tokens", schema=CONV_TOKENS_SCHEMA, key="conv_id",
+        transform=_conv_tokens_transform, key_expr=None,
+    )
+
+
+def _index_from_pairs(pairs: DataFrame, postings_cap: int) -> DataFrame:
+    """token → (exact df counts, state-bounded postings) from a
+    distinct (token, conv_id, n_turns) pair frame.
+
+    Counts are map-side-combinable rollups over constant-width rows —
     never a per-token set. Postings go through ``capped_postings``:
     the cap is applied by a rank filter BEFORE ``collect_list``, so a
     stop-word token's aggregation buffer holds at most ``postings_cap``
@@ -472,20 +525,14 @@ def _index_transform(postings_cap: int):
     """
     from ..functions.textops import capped_postings
 
-    def transform(df: DataFrame) -> DataFrame:
-        pairs = df.groupBy("token", "conv_id").agg(
-            F.count("*").alias("_nt")
-        )
-        counts = pairs.groupBy("token").agg(
-            F.count("*").alias("n_convs"),
-            F.sum("_nt").alias("n_turns"),
-        )
-        postings = capped_postings(pairs, "token", "conv_id", postings_cap)
-        # both sides exit their aggregates hash-partitioned on token —
-        # the join is co-partitioned, no extra shuffle
-        return counts.join(postings, "token")
-
-    return transform
+    counts = pairs.groupBy("token").agg(
+        F.count("*").alias("n_convs"),
+        F.sum("n_turns").alias("n_turns"),
+    )
+    postings = capped_postings(pairs, "token", "conv_id", postings_cap)
+    # both sides exit their aggregates hash-partitioned on token —
+    # the join is co-partitioned, no extra shuffle
+    return counts.join(postings, "token")
 
 
 def text_index_level(n_buckets: int = 16,
@@ -499,34 +546,67 @@ def text_index_level(n_buckets: int = 16,
     turns it touched (old AND new text versions), those tokens'
     postings are recomputed and MERGEd under the same fence as any
     level. token-bucketed layout makes `search` a bucket-pruned point
-    lookup."""
+    lookup.
+
+    The level's parent is ``conv_tokens``, not the main table: its
+    key_expr explodes the STORED (token, n_turns) pair structs, so the
+    per-epoch full scan this level pays for exact postings reads
+    compact token arrays — it never re-tokenizes text."""
     return LevelSpec(
         name="text_index", schema=TEXT_INDEX_SCHEMA, key="token",
-        transform=_index_transform(postings_cap),
-        key_expr=_token_col,
+        transform=lambda df: _index_from_pairs(
+            df.select("token", "conv_id", "n_turns"), postings_cap
+        ),
+        key_expr=lambda: F.explode("tokens"),
         n_buckets=n_buckets,
+    )
+
+
+def rebuild_text_index(main: MicroLakeTable,
+                       postings_cap: int = POSTINGS_CAP) -> DataFrame:
+    """Full recompute of the index CONTENT (no ts column) from the main
+    table's current snapshot — the disaster-recovery path the chain's
+    stage-vacuumed errors point at, and the ground-truth twin the
+    incremental maintenance is tested against."""
+    return _index_from_pairs(
+        conv_token_pairs(main.snapshot_df()), postings_cap
     )
 
 
 class TextIndexMaintainer:
     """Incrementally-maintained inverted text index over the transcript
-    table (facade over a one-level ``DerivedChain``). Per epoch the
-    cost is: tokens of the touched turns (current + pre-epoch text) →
-    one scan of the main table exploded and semi-joined to those
-    affected tokens → per-token re-aggregation. The explode-then-join
-    full scan is the exact-postings price; the delta alternative
-    (array-merge old postings) trades it for unbounded array edits and
-    loses the one-row-per-key LWW simplicity."""
+    table — a 2-level ``DerivedChain``:
+
+      transcripts ──(affected conv_ids)──▶ conv_tokens   (level 1)
+                  ──(affected tokens)────▶ text_index    (level 2)
+
+    Level 1 (conv_id → its distinct (token, n_turns) pairs) tokenizes
+    ONLY the epoch's touched conversations — O(affected). Level 2
+    recomputes the affected tokens' postings exactly from one scan of
+    the stored pair arrays (explode + semi-join on affected tokens) —
+    the single-level design re-tokenized the WHOLE corpus text every
+    epoch for that scan (regex split × corpus bytes, the dominant
+    maintainer cost in BENCH/BASELINE.md §8); now the scan reads
+    compact token arrays, the same shape as the LSH band level reading
+    stored signatures. The array-scan-vs-delta tradeoff stands: exact
+    postings need every conversation containing an affected token, the
+    capped index itself cannot answer that beyond its cap, and delta
+    maintenance would break the one-row-per-key LWW merge."""
 
     def __init__(self, spark: SparkSession, main: MicroLakeTable,
                  path: str, n_buckets: int = 16):
-        self.chain = DerivedChain(
-            spark, main, [(text_index_level(n_buckets), path)]
-        )
+        self.chain = DerivedChain(spark, main, [
+            (conv_tokens_level(), path + "_convtokens"),
+            (text_index_level(n_buckets), path),
+        ])
+
+    @property
+    def conv_tokens(self) -> MicroLakeTable:
+        return self.chain.tables[0]
 
     @property
     def index(self) -> MicroLakeTable:
-        return self.chain.tables[0]
+        return self.chain.tables[1]
 
     @property
     def tables(self) -> list[MicroLakeTable]:

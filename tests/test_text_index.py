@@ -5,28 +5,21 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
-from pyspark.sql import functions as F
 
 from tap_github_search_spark.sources.generator import write_changelog
 from tap_github_search_spark.streaming.derived import (
     TextIndexMaintainer,
-    text_index_level,
+    rebuild_text_index,
 )
 from tap_github_search_spark.streaming.job import replay
 from tests.test_engine import _events
 
 
 def _full_rebuild(table):
-    """The same transform applied to the FINAL main snapshot — ground
-    truth for the incremental maintenance."""
-    spec = text_index_level()
-    live = table.snapshot_df().withColumn(
-        "token",
-        F.explode(F.array_distinct(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-        )),
-    ).filter(F.col("token") != "")
-    return spec.transform(live)
+    """Full recompute from the FINAL main snapshot — ground truth for
+    the incremental maintenance (independently cross-checked against a
+    DuckDB recomputation from the raw WAL below)."""
+    return rebuild_text_index(table)
 
 
 def test_incremental_index_equals_full_rebuild(spark, tmp_dir):
