@@ -78,6 +78,50 @@ def q_cdc_replay_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension enrichment view (J1/J4 id-resolution analog,
+    reference client.py:137-176): final transcript state LEFT JOINed
+    to the final tools-dimension state — the batch ground-truth twin of
+    ``streaming.joinview.JoinViewMaintainer``, which maintains the same
+    view incrementally on BOTH inputs (fact epochs + dim change_feed).
+    The dim is broadcast (a dimension stays small while the fact
+    grows); fact rows whose tool has no live dim row (null tool, or a
+    dim delete) keep null enrichment columns — left-join semantics."""
+    from ..sources.generator import dim_dir, ensure_dim_changelog
+
+    sf = sf_from_dir(sf_dir)
+    ensure_dim_changelog(spark, sf)
+    dim = final_state(
+        spark.read.parquet(dim_dir(sf)), keys=("tool",)
+    ).select("tool", "category", "cost_tier")
+    fact = final_state(_log(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.col("ts").alias("turn_ts"),
+    )
+    return fact.join(F.broadcast(dim), "tool", "left").select(
+        "conv_id", "turn_idx", "role", "tool", "turn_ts",
+        "category", "cost_tier",
+    )
+
+
+_ORACLE_DIM = "/root/repo/data/cdc/sf0.01/dim_tools/*.parquet"
+
+SQL_CDC_JOIN_VIEW = f"""
+{_WINNERS_CTE}, dim_winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY tool ORDER BY ts DESC, seq DESC) AS rn
+    FROM read_parquet('{_ORACLE_DIM}')
+  ) WHERE rn = 1
+)
+SELECT w.conv_id, w.turn_idx, w.role, w.tool, w.ts AS turn_ts,
+       d.category, d.cost_tier
+FROM winners w
+LEFT JOIN (SELECT * FROM dim_winners WHERE op <> 'D') d USING (tool)
+WHERE w.op <> 'D'
+"""
+
+
 def q_conv_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered transcript re-assembly (U5 page-accumulation analog):
     one row per conversation with turns concatenated in turn_idx order —
@@ -1260,6 +1304,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_replay_transcripts": (q_cdc_replay_transcripts, SQL_CDC_REPLAY),
     "cdc_replay_salted": (q_cdc_replay_salted, SQL_CDC_REPLAY),
     "cdc_replay_ord": (q_cdc_replay_ord, SQL_CDC_REPLAY),
+    "cdc_join_view": (q_cdc_join_view, SQL_CDC_JOIN_VIEW),
     "conv_transcript": (q_conv_transcript, SQL_CONV_TRANSCRIPT),
     "explode_props_map": (q_explode_props_map, SQL_EXPLODE_PROPS_MAP),
     "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
@@ -1852,9 +1897,11 @@ _DRIVER_PRIORITY = [
     "topk_events", "emb_cosine_topk", "docs_dedup_clusters",
     "emb_ivf_ann",
     # -- new r5 entries: never driver-checked
-    "emb_ivf_ann_multiprobe", "emb_dedup_clusters",
-    # -- retained previously-green coverage rows
-    "search_counts", "agg_monthly_counts", "join_enrich_orders",
+    "emb_ivf_ann_multiprobe", "emb_dedup_clusters", "cdc_join_view",
+    # -- retained previously-green coverage rows (agg_monthly_counts
+    # rotated to the tail to keep the prefix at 50: r4-green, trivial
+    # aggregate, still under the local parity gate)
+    "search_counts", "join_enrich_orders",
     "events_hypertable_rollup", "docs_exact_dedup", "docs_inverted_index",
     "docs_contamination", "docs_curation_pipeline", "emb_lsh_ann",
     "conv_lsh_bands",

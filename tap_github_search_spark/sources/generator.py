@@ -369,6 +369,63 @@ def evolved_dir(sf: float) -> str:
     return os.path.join(DATA_ROOT, f"sf{sf:g}", "changelog_evolved")
 
 
+def dim_dir(sf: float) -> str:
+    return os.path.join(DATA_ROOT, f"sf{sf:g}", "dim_tools")
+
+
+#: the tools dimension changelog: a slowly-changing dimension CDC log
+#: keyed by ``tool`` (joins the transcript WAL's ``tool`` column).
+#: Fixed literal rows — the dim is deliberately tiny (broadcast-side)
+#: and exercises insert, update (category + tier churn) and delete
+#: (``shell`` never appears in the fact WAL and is dropped again).
+_DIM_TOOL_ROWS = [
+    (1, "I", "search", "retrieval", 1),
+    (2, "I", "python", "compute", 2),
+    (3, "I", "browser", "retrieval", 3),
+    (4, "I", "editor", "mutation", 2),
+    (5, "I", "shell", "compute", 4),
+    (6, "U", "python", "compute", 3),
+    (7, "U", "search", "web", 1),
+    (8, "D", "shell", None, None),
+]
+
+
+def dim_changelog_df(spark: SparkSession) -> DataFrame:
+    """The tools-dimension changelog as a DataFrame: (seq, op, tool,
+    category, cost_tier, ts), ts = epoch + seq minutes (monotone)."""
+    schema = ("seq long, op string, tool string, category string, "
+              "cost_tier int")
+    return (
+        spark.createDataFrame(_DIM_TOOL_ROWS, schema)
+        .withColumn("ts", F.timestamp_seconds(F.col("seq") * 60))
+    )
+
+
+def write_dim_changelog(spark: SparkSession, out_dir: str,
+                        n_files: int = 2) -> str:
+    """Write the tools-dimension changelog as seq-ranged chunks (same
+    microbatch convention as the fact WAL)."""
+    (
+        dim_changelog_df(spark)
+        .repartitionByRange(n_files, "seq")
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def ensure_dim_changelog(spark: SparkSession, sf: float) -> str:
+    """Generate (once) and return the tools-dimension changelog dir for
+    a scale factor. Content is scale-independent (a dimension stays
+    small while the fact grows — that is the point of the join view)."""
+    out = dim_dir(sf)
+    if not (os.path.isdir(out)
+            and any(f.endswith(".parquet") for f in os.listdir(out))):
+        write_dim_changelog(spark, out)
+    return out
+
+
 def ensure_changelog(spark: SparkSession, sf: float) -> str:
     """Generate (once) and return the changelog dir for a scale factor.
 

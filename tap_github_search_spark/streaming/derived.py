@@ -186,6 +186,104 @@ WEEKLY_LEVEL = LevelSpec(
 )
 
 
+def staged_root_keys(spark: SparkSession, main: MicroLakeTable,
+                     epoch: int, behind: list[str]) -> DataFrame:
+    """Distinct merge keys (``main.keys[0]``) staged in the given epoch
+    — a skinny scan of that epoch's staged winner files only (stage
+    dirs carry a writer-unique tag: ``epoch=N-<tag>``; rewrite/compact
+    dirs have further suffixes and are excluded). Shared by every
+    derived maintainer (chains and the join view).
+
+    TOTAL by design: an epoch with nothing staged (empty batch, or
+    an old redelivered epoch whose stage was vacuumed after every
+    dependent table committed it) yields an EMPTY key frame, so the
+    caller advances its fence with an empty merge instead of erroring
+    out of catch-up. The chaos soak found the alternative failure
+    mode: a swallowed catch-up error let the streaming checkpoint
+    commit with a deep level permanently behind — a liveness hole,
+    since that batch is never redelivered. Genuine read failures on
+    existing staged files still raise (the batch fails and Structured
+    Streaming redelivers = retry).
+
+    ``behind``: paths of dependent tables that still NEED this epoch —
+    when the stage dir is gone but the main table's lineage proves the
+    epoch staged data (maintenance outran the dependents), this raises
+    instead of silently dropping the epoch's changes (ADVICE r4)."""
+    data = os.path.join(main.path, "data")
+    prefix = f"epoch={epoch}-"
+    dirs = [
+        os.path.join(data, d)
+        for d in os.listdir(data)
+        if d.startswith(prefix) and "." not in d[len(prefix):]
+    ]
+
+    def _has_bucket_parquet(d: str) -> bool:
+        # staged rows always land under _bucket=K/ subdirs; an
+        # EMPTY staged epoch can leave a zero-row part file at the
+        # dir ROOT (no partition subdir), whose flat layout
+        # conflicts with the partitioned siblings at read time
+        # (CONFLICTING_DIRECTORY_STRUCTURES) — and contributes no
+        # keys anyway, so it is skipped along with empty dirs
+        for sub in os.listdir(d):
+            p = os.path.join(d, sub)
+            if (sub.startswith("_bucket=") and os.path.isdir(p)
+                    and any(x.endswith(".parquet")
+                            for x in os.listdir(p))):
+                return True
+        return False
+
+    dirs = [d for d in dirs if _has_bucket_parquet(d)]
+    # always the MAIN table's merge key: a level-1 spec may key on a
+    # DERIVED expression (key_expr), which staged files don't carry
+    key = main.keys[0]
+    if not dirs:
+        # "no stage dir" is only benign when the epoch genuinely
+        # staged nothing OR every dependent already committed it. If
+        # one still NEEDS this epoch, consult the main table's lineage
+        # (one row per bucket touched per merge epoch — empty merges
+        # record none): rows for this epoch mean data WAS staged and
+        # the stage dir has since been compacted/vacuumed — silently
+        # advancing the fence would drop the epoch's changes from that
+        # dependent forever. The 'vacuumed only after every level
+        # committed' precondition is enforced here, not assumed.
+        if behind:
+            lineage_fence = int(main.manifest.get(
+                "lineage_complete_after_epoch", -1))
+            if epoch <= lineage_fence:
+                raise RuntimeError(
+                    f"derived level(s) {behind} need epoch {epoch} "
+                    "but its stage dir is gone and the main "
+                    "table's lineage for it was expired "
+                    f"(complete only after epoch {lineage_fence}) "
+                    "— cannot prove the epoch staged nothing; "
+                    "rebuild the level or raise metadata retention"
+                )
+            staged = any(
+                ln["commit_epoch"] == epoch
+                for ln in main._lineage_entries(after_epoch=epoch - 1)
+            )
+            if staged:
+                raise RuntimeError(
+                    f"derived level(s) {behind} need epoch {epoch}: "
+                    "the main table's lineage shows the epoch "
+                    "staged data, but its stage dir has been "
+                    "compacted/vacuumed before every level "
+                    "committed it — maintenance outran the chain; "
+                    "rebuild the level or raise vacuum grace"
+                )
+        kf = next(f for f in main.schema.fields if f.name == key)
+        return spark.createDataFrame([], T.StructType([kf]))
+    # basePath pins partition discovery to the data root: with TWO
+    # stage dirs for one epoch (a CAS-losing writer's orphan next
+    # to the winner's), Spark would otherwise treat the
+    # ``epoch=N-tag`` dir names themselves as conflicting
+    # partition directories (CONFLICTING_DIRECTORY_STRUCTURES)
+    return (
+        spark.read.option("basePath", data).parquet(*dirs)
+        .select(key).distinct()
+    )
+
+
 class DerivedChain:
     """Maintains a declared list of derived levels in lockstep with the
     main table, one epoch at a time, each level independently fenced."""
@@ -216,97 +314,11 @@ class DerivedChain:
     # ---------------- affected-key propagation ----------------
 
     def affected_root_keys(self, epoch: int) -> DataFrame:
-        """Distinct level-1 keys staged in the given epoch — a skinny
-        scan of that epoch's staged winner files only (stage dirs carry
-        a writer-unique tag: ``epoch=N-<tag>``; rewrite/compact dirs
-        have further suffixes and are excluded).
-
-        TOTAL by design: an epoch with nothing staged (empty batch, or
-        an old redelivered epoch whose stage was vacuumed after every
-        level committed it) yields an EMPTY key frame, so the chain
-        advances each level's fence with an empty merge instead of
-        erroring out of catch-up. The chaos soak found the alternative
-        failure mode: a swallowed catch-up error let the streaming
-        checkpoint commit with a deep level permanently behind — a
-        liveness hole, since that batch is never redelivered. Genuine
-        read failures on existing staged files still raise (the batch
-        fails and Structured Streaming redelivers = retry)."""
-        data = os.path.join(self.main.path, "data")
-        prefix = f"epoch={epoch}-"
-        dirs = [
-            os.path.join(data, d)
-            for d in os.listdir(data)
-            if d.startswith(prefix) and "." not in d[len(prefix):]
-        ]
-        def _has_bucket_parquet(d: str) -> bool:
-            # staged rows always land under _bucket=K/ subdirs; an
-            # EMPTY staged epoch can leave a zero-row part file at the
-            # dir ROOT (no partition subdir), whose flat layout
-            # conflicts with the partitioned siblings at read time
-            # (CONFLICTING_DIRECTORY_STRUCTURES) — and contributes no
-            # keys anyway, so it is skipped along with empty dirs
-            for sub in os.listdir(d):
-                p = os.path.join(d, sub)
-                if (sub.startswith("_bucket=") and os.path.isdir(p)
-                        and any(x.endswith(".parquet")
-                                for x in os.listdir(p))):
-                    return True
-            return False
-
-        dirs = [d for d in dirs if _has_bucket_parquet(d)]
-        # always the MAIN table's merge key: a level-1 spec may key on a
-        # DERIVED expression (key_expr), which staged files don't carry
-        key = self.main.keys[0]
-        if not dirs:
-            # ADVICE r4: "no stage dir" is only benign when the epoch
-            # genuinely staged nothing OR every level already committed
-            # it. If a level still NEEDS this epoch, consult the main
-            # table's lineage (one row per bucket touched per merge
-            # epoch — empty merges record none): rows for this epoch
-            # mean data WAS staged and the stage dir has since been
-            # compacted/vacuumed — silently advancing the fence would
-            # drop the epoch's changes from that level forever. The
-            # docstring's 'vacuumed only after every level committed'
-            # precondition is enforced here, not assumed.
-            behind = [t.path for t in self.tables
-                      if t.last_committed_epoch < epoch]
-            if behind:
-                lineage_fence = int(self.main.manifest.get(
-                    "lineage_complete_after_epoch", -1))
-                if epoch <= lineage_fence:
-                    raise RuntimeError(
-                        f"derived level(s) {behind} need epoch {epoch} "
-                        "but its stage dir is gone and the main "
-                        "table's lineage for it was expired "
-                        f"(complete only after epoch {lineage_fence}) "
-                        "— cannot prove the epoch staged nothing; "
-                        "rebuild the level or raise metadata retention"
-                    )
-                staged = any(
-                    ln["commit_epoch"] == epoch
-                    for ln in self.main._lineage_entries(
-                        after_epoch=epoch - 1)
-                )
-                if staged:
-                    raise RuntimeError(
-                        f"derived level(s) {behind} need epoch {epoch}: "
-                        "the main table's lineage shows the epoch "
-                        "staged data, but its stage dir has been "
-                        "compacted/vacuumed before every level "
-                        "committed it — maintenance outran the chain; "
-                        "rebuild the level or raise vacuum grace"
-                    )
-            kf = next(f for f in self.main.schema.fields if f.name == key)
-            return self.spark.createDataFrame([], T.StructType([kf]))
-        # basePath pins partition discovery to the data root: with TWO
-        # stage dirs for one epoch (a CAS-losing writer's orphan next
-        # to the winner's), Spark would otherwise treat the
-        # ``epoch=N-tag`` dir names themselves as conflicting
-        # partition directories (CONFLICTING_DIRECTORY_STRUCTURES)
-        return (
-            self.spark.read.option("basePath", data).parquet(*dirs)
-            .select(key).distinct()
-        )
+        """Distinct level-1 keys staged in the given epoch (see
+        ``staged_root_keys``); the behind set is this chain's tables."""
+        behind = [t.path for t in self.tables
+                  if t.last_committed_epoch < epoch]
+        return staged_root_keys(self.spark, self.main, epoch, behind)
 
     def _pre_epoch_version(self, table: MicroLakeTable,
                            epoch: int) -> MicroLakeTable | None:

@@ -259,6 +259,8 @@ def stream(
     optimize_opts: dict | None = None,
     text_index_path: str | None = None,
     lsh_index_path: str | None = None,
+    join_view_path: str | None = None,
+    dim_path: str | None = None,
     max_payload_bytes: int | None = None,
     stream_map: dict | None = None,
 ):
@@ -324,6 +326,15 @@ def stream(
 
         maintainers.append(LshIndexMaintainer(spark, table,
                                               lsh_index_path))
+    if join_view_path is not None:
+        if dim_path is None:
+            raise ValueError("join_view_path requires dim_path (the "
+                             "dimension MicroLakeTable to enrich from)")
+        from .joinview import JoinViewMaintainer
+
+        dim = MicroLakeTable.load(spark, dim_path)
+        maintainers.append(JoinViewMaintainer(spark, table, dim,
+                                              join_view_path))
 
     seen = {"n": 0}
 

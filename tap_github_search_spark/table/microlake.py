@@ -450,6 +450,7 @@ class MicroLakeTable:
         merge_mode: str = "cow",
         dedup: str = "window",
         max_payload_bytes: int | None = None,
+        extra_manifest: dict | None = None,
     ) -> MergeResult:
         """Apply one changelog batch with MERGE semantics, exactly once.
 
@@ -477,6 +478,11 @@ class MicroLakeTable:
         (/root/reference/tap_github/client.py:324-370). Use
         ``operators.payload_guard`` upstream to *retain* typed
         ``{success, error_message}`` rows for the rejects.
+
+        ``extra_manifest``: extra key/values folded into the manifest in
+        the SAME atomic swap as the epoch fence — how a maintainer
+        records external watermarks (e.g. the join view's
+        ``dim_version_seen``) exactly-once with its own commit.
 
         ``winner_transform`` (e.g. the vectorized text normalizer) runs
         AFTER within-batch LWW dedup, so the Python/Arrow exchange sees
@@ -688,7 +694,7 @@ class MicroLakeTable:
             "throughput_eps": (events_in * 1000.0 / merge_ms) if merge_ms else 0.0,
         }
         self._commit(epoch, keep + new_files, lineage, metrics, evolved,
-                     read_dedup=read_dedup)
+                     read_dedup=read_dedup, extra=extra_manifest)
         return MergeResult(
             epoch=epoch,
             events_in=events_in,
