@@ -55,7 +55,8 @@ REQUIRED_CONFIG_KEYS = {"mode", "log_dirs", "table"}
 VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
     "checkpoint", "buckets", "merge_mode", "dedup", "rollup_path",
     "daily_rollup_path", "compact_every", "optimize_every",
-    "optimize_opts", "text_index_path", "max_payload_bytes",
+    "optimize_opts", "text_index_path", "lsh_index_path",
+    "join_view_path", "dim_path", "max_payload_bytes",
     "stream_map", "epochs", "follow", "cores",
 }
 
@@ -302,6 +303,9 @@ def main(argv: list[str] | None = None) -> int:
         args.optimize_every = cfg.get("optimize_every")
         args.optimize_opts = cfg.get("optimize_opts")
         args.text_index_path = cfg.get("text_index_path")
+        args.lsh_index_path = cfg.get("lsh_index_path")
+        args.join_view_path = cfg.get("join_view_path")
+        args.dim_path = cfg.get("dim_path")
         args.max_payload_bytes = cfg.get("max_payload_bytes")
         args.stream_map = cfg.get("stream_map")
     else:
@@ -311,6 +315,9 @@ def main(argv: list[str] | None = None) -> int:
         args.optimize_every = None
         args.optimize_opts = None
         args.text_index_path = None
+        args.lsh_index_path = None
+        args.join_view_path = None
+        args.dim_path = None
         args.max_payload_bytes = None
         args.stream_map = None
 
@@ -460,6 +467,9 @@ def main(argv: list[str] | None = None) -> int:
         optimize_every=args.optimize_every,
         optimize_opts=args.optimize_opts,
         text_index_path=args.text_index_path,
+        lsh_index_path=args.lsh_index_path,
+        join_view_path=args.join_view_path,
+        dim_path=args.dim_path,
         max_payload_bytes=args.max_payload_bytes,
         stream_map=args.stream_map,
     )

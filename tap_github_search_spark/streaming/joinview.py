@@ -167,7 +167,16 @@ class JoinViewMaintainer:
         )
 
         keys = list(self.view.keys)
-        payload = [f.name for f in self.view.schema.fields]
+        # payload tracks the CURRENT fact + dim schemas, not the view's
+        # creation-time schema: a column added/widened on either input
+        # mid-stream flows into the view through merge's own schema
+        # evolution (the same promotion rules as any table)
+        payload_fields = [
+            f for f in join_view_schema(
+                self.fact.schema, self.dim.schema, self.join_col
+            ).fields
+        ]
+        payload = [f.name for f in payload_fields]
         epoch_ts = F.timestamp_seconds(F.lit(epoch))
         # view keys under affected roots that lost their fact row →
         # delete rows (fact deletes propagate)
@@ -187,7 +196,7 @@ class JoinViewMaintainer:
                 *keys,
                 *[
                     F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in self.view.schema.fields
+                    for f in payload_fields
                     if f.name not in (*keys, "ts")
                 ],
                 epoch_ts.alias("ts"),

@@ -39,10 +39,15 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
                     out_of_order_pct=30)
     write_changelog(spark, f"{tmp_dir}/log_evolved", 20, n_files=2,
                     evolved=True, seq_offset=100 * TURN_SPAN * 2)
+    # the tools dimension: the join view enriches from it while the
+    # maintenance loop CHURNS it mid-chaos (updates racing the stream)
+    from tests.test_join_view import _dim_table
+    _dim_table(spark, f"{tmp_dir}/dim", upto_seq=5, epoch=0)
     paths = dict(
         rollup_path=f"{tmp_dir}/roll", daily_rollup_path=f"{tmp_dir}/daily",
         weekly_rollup_path=f"{tmp_dir}/weekly",
         text_index_path=f"{tmp_dir}/idx",
+        join_view_path=f"{tmp_dir}/view", dim_path=f"{tmp_dir}/dim",
     )
 
     # ---- chaos injection: deterministic RNG, every seam --------------
@@ -98,6 +103,23 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
                 else:
                     t.optimize(max_generations=2, compact_batch=4,
                                keep_versions=200, allow_rebucket=False)
+                if races["runs"] % 3 == 2:
+                    # dim churn racing the stream: a tier bump the join
+                    # view must pick up via change_feed (the dim merge
+                    # goes through the SAME chaos_merge monkeypatch, so
+                    # dim commits crash-inject too)
+                    d = MicroLakeTable.load(spark, f"{tmp_dir}/dim")
+                    e = d.last_committed_epoch + 1
+                    d.merge(
+                        spark.createDataFrame(
+                            [(1000 + e, "U", "python", "compute", e)],
+                            "seq long, op string, tool string, "
+                            "category string, cost_tier int",
+                        ).withColumn(
+                            "ts", F.timestamp_seconds(F.col("seq") * 60)
+                        ),
+                        epoch=e,
+                    )
                 races["runs"] += 1
             except Exception:
                 pass  # table may not exist yet / lost race — retry
@@ -164,6 +186,10 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     )
     from tests.test_engine import _events
 
+    from tap_github_search_spark.streaming.joinview import (
+        JoinViewMaintainer,
+    )
+
     v = table.last_committed_epoch
     table.rebucket_start(32)
     assert table.manifest["migration_pending"]
@@ -171,6 +197,8 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
                               daily_path=paths["daily_rollup_path"],
                               weekly_path=paths["weekly_rollup_path"])
     tidx = TextIndexMaintainer(spark, table, paths["text_index_path"])
+    dim_t = MicroLakeTable.load(spark, f"{tmp_dir}/dim")
+    jvm = JoinViewMaintainer(spark, table, dim_t, paths["join_view_path"])
     # epoch v+1: NEW int column arrives mid-migration
     table.merge(
         _events(spark, [(10**9, "I", "widen_a", 0, 10**6, "fresh words")])
@@ -179,6 +207,7 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     )
     maint2.apply_epoch(v + 1)
     tidx.apply_epoch(v + 1)
+    jvm.apply_epoch(v + 1)
     # epoch v+2: the SAME column widens int->long, migration still
     # pending — reader promotion must carry both generations
     table.merge(
@@ -189,6 +218,7 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     )
     maint2.apply_epoch(v + 2)
     tidx.apply_epoch(v + 2)
+    jvm.apply_epoch(v + 2)
     while table.migrate_step(max_buckets=8):
         pass
     table = MicroLakeTable.load(spark, f"{tmp_dir}/t")
@@ -276,6 +306,30 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
                 ["conv_id", "turn_idx"])
     src = canon(snap, ["conv_id", "turn_idx"])
     pd.testing.assert_frame_equal(rep, src, check_dtype=False)
+
+    # ---- 7) join view == batch twin (dim churned mid-chaos) ----------
+    # a dim churn commit may postdate the last fact epoch; the view
+    # applies dim deltas on the NEXT fact epoch, so flush with one
+    # empty epoch (the production quiet-WAL tick), then compare
+    from tap_github_search_spark.streaming.joinview import (
+        join_view_state,
+    )
+
+    dim_f = MicroLakeTable.load(spark, f"{tmp_dir}/dim")
+    jvf = JoinViewMaintainer(spark, table, dim_f,
+                             paths["join_view_path"])
+    flush = table.last_committed_epoch + 1
+    table.merge(_events(spark, []), epoch=flush, merge_mode="mor")
+    jvf.apply_epoch(flush)
+    gv = jvf.view.snapshot_df()
+    # the score column evolved into the view mid-migration
+    assert {r["conv_id"]: r["score"]
+            for r in gv.filter(F.col("conv_id").startswith("widen"))
+            .collect()} == {"widen_a": 7, "widen_b": 9_000_000_000}
+    gvc = canon(gv.drop("ts"), ["conv_id", "turn_idx"])
+    evc = canon(join_view_state(table, dim_f).select(*gv.drop("ts").columns),
+                ["conv_id", "turn_idx"])
+    pd.testing.assert_frame_equal(gvc, evc, check_dtype=False)
 
     # the maintenance loop really ran against live commits
     assert races["runs"] >= 1
