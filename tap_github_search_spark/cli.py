@@ -56,7 +56,7 @@ VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
     "checkpoint", "buckets", "merge_mode", "dedup", "rollup_path",
     "daily_rollup_path", "compact_every", "optimize_every",
     "optimize_opts", "text_index_path", "lsh_index_path",
-    "join_view_path", "dim_path", "max_payload_bytes",
+    "join_view_path", "dim_path", "scd2_path", "max_payload_bytes",
     "stream_map", "epochs", "follow", "cores",
 }
 
@@ -306,6 +306,7 @@ def main(argv: list[str] | None = None) -> int:
         args.lsh_index_path = cfg.get("lsh_index_path")
         args.join_view_path = cfg.get("join_view_path")
         args.dim_path = cfg.get("dim_path")
+        args.scd2_path = cfg.get("scd2_path")
         args.max_payload_bytes = cfg.get("max_payload_bytes")
         args.stream_map = cfg.get("stream_map")
     else:
@@ -318,6 +319,7 @@ def main(argv: list[str] | None = None) -> int:
         args.lsh_index_path = None
         args.join_view_path = None
         args.dim_path = None
+        args.scd2_path = None
         args.max_payload_bytes = None
         args.stream_map = None
 
@@ -470,6 +472,7 @@ def main(argv: list[str] | None = None) -> int:
         lsh_index_path=args.lsh_index_path,
         join_view_path=args.join_view_path,
         dim_path=args.dim_path,
+        scd2_path=args.scd2_path,
         max_payload_bytes=args.max_payload_bytes,
         stream_map=args.stream_map,
     )

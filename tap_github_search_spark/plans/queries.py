@@ -104,6 +104,50 @@ def q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_turn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 (SCD2) version history of every turn: each state a
+    (conv_id, turn_idx) key ever held, with its half-open validity
+    interval in the WAL's seq axis and an ``is_current`` flag. The
+    reference overwrites state every sync and loses history
+    (/root/reference/tap_github/client.py:83-101 bookmark blob); a
+    reproducible training pipeline needs "the table as of seq S".
+    Delete events close the preceding interval (they participate in
+    the ``lead`` window) but emit no row of their own.
+
+    Scale shape: ONE window over the key partitioning the table is
+    already bucketed by — a single hash shuffle, no global sort, no
+    state beyond a per-key lead. The streaming twin for a dimension
+    table is ``streaming.scd2.Scd2Maintainer`` (change_feed-driven,
+    O(changed keys) per epoch)."""
+    log = _log(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "seq")
+    return (
+        log.withColumn("effective_to_seq", F.lead("seq").over(w))
+        .filter(F.col("op") != "D")
+        .select(
+            "conv_id", "turn_idx", "role",
+            normalized("text").alias("text"), "tool",
+            F.col("seq").alias("effective_from_seq"),
+            "effective_to_seq",
+            F.col("effective_to_seq").isNull().cast("int")
+            .alias("is_current"),
+        )
+    )
+
+
+SQL_CDC_SCD2_TURN_HISTORY = f"""
+SELECT conv_id, turn_idx, role, {_NORM} AS text, tool,
+       seq AS effective_from_seq, effective_to_seq,
+       CAST(effective_to_seq IS NULL AS INT) AS is_current
+FROM (
+  SELECT *, lead(seq) OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts, seq
+  ) AS effective_to_seq
+  FROM read_parquet('{{log}}')
+) WHERE op <> 'D'
+""".replace("{log}", "/root/repo/data/cdc/sf0.01/changelog/*.parquet")
+
+
 _ORACLE_DIM = "/root/repo/data/cdc/sf0.01/dim_tools/*.parquet"
 
 SQL_CDC_JOIN_VIEW = f"""
@@ -1305,6 +1349,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_replay_salted": (q_cdc_replay_salted, SQL_CDC_REPLAY),
     "cdc_replay_ord": (q_cdc_replay_ord, SQL_CDC_REPLAY),
     "cdc_join_view": (q_cdc_join_view, SQL_CDC_JOIN_VIEW),
+    "cdc_scd2_turn_history": (q_cdc_scd2_turn_history,
+                              SQL_CDC_SCD2_TURN_HISTORY),
     "conv_transcript": (q_conv_transcript, SQL_CONV_TRANSCRIPT),
     "explode_props_map": (q_explode_props_map, SQL_EXPLODE_PROPS_MAP),
     "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
@@ -1898,14 +1944,17 @@ _DRIVER_PRIORITY = [
     "emb_ivf_ann",
     # -- new r5 entries: never driver-checked
     "emb_ivf_ann_multiprobe", "emb_dedup_clusters", "cdc_join_view",
+    "cdc_scd2_turn_history",
     # -- retained previously-green coverage rows (agg_monthly_counts
     # rotated to the tail to keep the prefix at 50: r4-green, trivial
     # aggregate, still under the local parity gate)
     "search_counts", "join_enrich_orders",
     "events_hypertable_rollup", "docs_exact_dedup", "docs_inverted_index",
-    "docs_contamination", "docs_curation_pipeline", "emb_lsh_ann",
+    "docs_contamination", "docs_curation_pipeline",
     "conv_lsh_bands",
 ]
+# emb_lsh_ann rotated to the tail for the cdc_scd2_turn_history slot:
+# r4 driver-green, unchanged since, still under the local parity gate.
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
 assert not _missing, f"driver priority references unknown queries: {_missing}"

@@ -261,6 +261,7 @@ def stream(
     lsh_index_path: str | None = None,
     join_view_path: str | None = None,
     dim_path: str | None = None,
+    scd2_path: str | None = None,
     max_payload_bytes: int | None = None,
     stream_map: dict | None = None,
 ):
@@ -335,6 +336,14 @@ def stream(
         dim = MicroLakeTable.load(spark, dim_path)
         maintainers.append(JoinViewMaintainer(spark, table, dim,
                                               join_view_path))
+    if scd2_path is not None:
+        if dim_path is None:
+            raise ValueError("scd2_path requires dim_path (the "
+                             "dimension whose history is tracked)")
+        from .scd2 import Scd2Maintainer
+
+        dim2 = MicroLakeTable.load(spark, dim_path)
+        maintainers.append(Scd2Maintainer(spark, dim2, scd2_path))
 
     seen = {"n": 0}
 
