@@ -57,6 +57,7 @@ VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
     "daily_rollup_path", "compact_every", "optimize_every",
     "optimize_opts", "text_index_path", "lsh_index_path",
     "join_view_path", "dim_path", "scd2_path", "max_payload_bytes",
+    "expectations", "quarantine_dir",
     "stream_map", "epochs", "follow", "cores",
 }
 
@@ -307,6 +308,8 @@ def main(argv: list[str] | None = None) -> int:
         args.join_view_path = cfg.get("join_view_path")
         args.dim_path = cfg.get("dim_path")
         args.scd2_path = cfg.get("scd2_path")
+        args.expectations = cfg.get("expectations")
+        args.quarantine_dir = cfg.get("quarantine_dir")
         args.max_payload_bytes = cfg.get("max_payload_bytes")
         args.stream_map = cfg.get("stream_map")
     else:
@@ -320,6 +323,8 @@ def main(argv: list[str] | None = None) -> int:
         args.join_view_path = None
         args.dim_path = None
         args.scd2_path = None
+        args.expectations = None
+        args.quarantine_dir = None
         args.max_payload_bytes = None
         args.stream_map = None
 
@@ -473,6 +478,8 @@ def main(argv: list[str] | None = None) -> int:
         join_view_path=args.join_view_path,
         dim_path=args.dim_path,
         scd2_path=args.scd2_path,
+        expectations=args.expectations,
+        quarantine_dir=args.quarantine_dir,
         max_payload_bytes=args.max_payload_bytes,
         stream_map=args.stream_map,
     )

@@ -148,6 +148,55 @@ FROM (
 """.replace("{log}", "/root/repo/data/cdc/sf0.01/changelog/*.parquet")
 
 
+#: the engine's data-quality contract for the transcript WAL (the same
+#: predicates a production config would pass as merge(expectations=)):
+#: names here, SQL text in both twins below.
+_EXPECTATION_RULES: dict[str, str] = {
+    "text_le_150": "length(text) <= 150",
+    "role_valid": "role IN ('user','assistant','system','tool')",
+    "tool_turn_has_tool": "role <> 'tool' OR tool IS NOT NULL",
+}
+
+
+def q_cdc_expectation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts for the engine's expectation contract
+    over the raw WAL (Delta Live Tables expectations analog; engine
+    path: ``MicroLakeTable.merge(expectations=, quarantine_dir=)``,
+    which evaluates the SAME predicates on the single-scan merge
+    Observation and dead-letters violating rows). Delete events pass
+    by definition; a NULL predicate counts as a violation.
+
+    Scale shape: one full scan, constant-width aggregate (3 counters),
+    map-side combined — no shuffle beyond the final 1-row reduce; the
+    stack() unpivot is driver-free."""
+    log = _log(spark, sf_dir)
+    nd = F.col("op") != "D"
+    counters = [
+        F.count(
+            F.when(nd & ~F.coalesce(F.expr(pred), F.lit(False)), 1)
+        ).alias(name)
+        for name, pred in _EXPECTATION_RULES.items()
+    ]
+    stack_args = ", ".join(
+        f"'{n}', {n}" for n in _EXPECTATION_RULES
+    )
+    return log.agg(*counters).select(
+        F.expr(
+            f"stack({len(_EXPECTATION_RULES)}, {stack_args}) "
+            "as (rule, n_violations)"
+        )
+    )
+
+
+SQL_CDC_EXPECTATION_STATS = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS rule, "
+    f"count(CASE WHEN op <> 'D' AND NOT coalesce({pred}, FALSE) "
+    f"THEN 1 END) AS n_violations "
+    f"FROM read_parquet('/root/repo/data/cdc/sf0.01/changelog/*.parquet')"
+    for name, pred in _EXPECTATION_RULES.items()
+)
+
+
 _ORACLE_DIM = "/root/repo/data/cdc/sf0.01/dim_tools/*.parquet"
 
 SQL_CDC_JOIN_VIEW = f"""
@@ -1351,6 +1400,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_join_view": (q_cdc_join_view, SQL_CDC_JOIN_VIEW),
     "cdc_scd2_turn_history": (q_cdc_scd2_turn_history,
                               SQL_CDC_SCD2_TURN_HISTORY),
+    "cdc_expectation_stats": (q_cdc_expectation_stats,
+                              SQL_CDC_EXPECTATION_STATS),
     "conv_transcript": (q_conv_transcript, SQL_CONV_TRANSCRIPT),
     "explode_props_map": (q_explode_props_map, SQL_EXPLODE_PROPS_MAP),
     "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
@@ -1944,17 +1995,18 @@ _DRIVER_PRIORITY = [
     "emb_ivf_ann",
     # -- new r5 entries: never driver-checked
     "emb_ivf_ann_multiprobe", "emb_dedup_clusters", "cdc_join_view",
-    "cdc_scd2_turn_history",
+    "cdc_scd2_turn_history", "cdc_expectation_stats",
     # -- retained previously-green coverage rows (agg_monthly_counts
     # rotated to the tail to keep the prefix at 50: r4-green, trivial
     # aggregate, still under the local parity gate)
     "search_counts", "join_enrich_orders",
-    "events_hypertable_rollup", "docs_exact_dedup", "docs_inverted_index",
+    "events_hypertable_rollup", "docs_inverted_index",
     "docs_contamination", "docs_curation_pipeline",
     "conv_lsh_bands",
 ]
-# emb_lsh_ann rotated to the tail for the cdc_scd2_turn_history slot:
-# r4 driver-green, unchanged since, still under the local parity gate.
+# emb_lsh_ann / docs_exact_dedup rotated to the tail for the two new
+# CDC slots (scd2 / expectation_stats): both r4 driver-green, unchanged
+# since, still under the local driver-identical parity gate.
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
 assert not _missing, f"driver priority references unknown queries: {_missing}"

@@ -195,6 +195,8 @@ def replay(
     merge_mode: str = "cow",
     dedup: str = "window",
     max_payload_bytes: int | None = None,
+    expectations: dict[str, str] | None = None,
+    quarantine_dir: str | None = None,
     stream_map: dict | None = None,
 ) -> tuple[MicroLakeTable, list[MergeResult]]:
     """Batch-replay the whole WAL into a fresh-or-existing table.
@@ -218,7 +220,8 @@ def replay(
         log = apply_stream_map(log, stream_map)
 
     kw = dict(winner_transform=normalize_events, merge_mode=merge_mode,
-              dedup=dedup, max_payload_bytes=max_payload_bytes)
+              dedup=dedup, max_payload_bytes=max_payload_bytes,
+              expectations=expectations, quarantine_dir=quarantine_dir)
     results: list[MergeResult] = []
     if n_epochs <= 1:
         results.append(
@@ -263,6 +266,8 @@ def stream(
     dim_path: str | None = None,
     scd2_path: str | None = None,
     max_payload_bytes: int | None = None,
+    expectations: dict[str, str] | None = None,
+    quarantine_dir: str | None = None,
     stream_map: dict | None = None,
 ):
     """Tail the WAL with a file streaming source and MERGE each
@@ -351,7 +356,9 @@ def stream(
         res = table.merge(batch_df, epoch=batch_id,
                           winner_transform=normalize_events,
                           merge_mode=merge_mode, dedup=dedup,
-                          max_payload_bytes=max_payload_bytes)
+                          max_payload_bytes=max_payload_bytes,
+                          expectations=expectations,
+                          quarantine_dir=quarantine_dir)
         if (compact_every and not res.skipped
                 and (batch_id + 1) % compact_every == 0):
             table.compact()

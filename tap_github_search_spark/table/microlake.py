@@ -73,6 +73,7 @@ class MergeResult:
     buckets_touched: int = 0
     merge_ms: int = 0
     lineage: list[dict] = field(default_factory=list)
+    events_quarantined: int = 0
 
 
 class MicroLakeTable:
@@ -450,6 +451,8 @@ class MicroLakeTable:
         merge_mode: str = "cow",
         dedup: str = "window",
         max_payload_bytes: int | None = None,
+        expectations: dict[str, str] | None = None,
+        quarantine_dir: str | None = None,
         extra_manifest: dict | None = None,
     ) -> MergeResult:
         """Apply one changelog batch with MERGE semantics, exactly once.
@@ -478,6 +481,22 @@ class MicroLakeTable:
         (/root/reference/tap_github/client.py:324-370). Use
         ``operators.payload_guard`` upstream to *retain* typed
         ``{success, error_message}`` rows for the rejects.
+
+        ``expectations``: named SQL predicates (Delta Live Tables
+        expectations / Delta CHECK-constraint analog) that every
+        insert/update event must satisfy; delete events pass (they
+        carry no payload). Violating rows are dropped from the merge
+        and counted per rule in the epoch metrics
+        (``events_quarantined`` + ``quarantine_rules``); a predicate
+        evaluating to NULL counts as failed. With ``quarantine_dir``
+        the violating rows are also retained at
+        ``{quarantine_dir}/epoch=N`` with a ``_failed`` rule-name array
+        — a dead-letter queue the producer can replay after fixing.
+        The quarantine write is a second scan of the WAL batch, paid
+        ONLY in epochs that actually have violations (the decision
+        rides the same single-scan Observation as the other guards);
+        the write is mode=overwrite into the epoch dir, so a crash
+        replay is idempotent, same contract as the staged merge.
 
         ``extra_manifest``: extra key/values folded into the manifest in
         the SAME atomic swap as the epoch fence — how a maintainer
@@ -552,11 +571,25 @@ class MicroLakeTable:
                 F.coalesce(F.octet_length("text"), F.lit(0))
                 <= F.lit(int(max_payload_bytes))
             )
+        base_accept = accept
+        rule_fail: dict[str, F.Column] = {}
+        if expectations:
+            is_delete = F.coalesce(F.col("op") == "D", F.lit(False))
+            for name, pred in expectations.items():
+                rule_fail[name] = ~is_delete & ~F.coalesce(
+                    F.expr(pred), F.lit(False)
+                )
+                accept = accept & ~rule_fail[name]
         obs = Observation(f"merge_obs_{epoch}_{uuid.uuid4().hex[:6]}")
         valid = batch_df.observe(
             obs,
             F.count(F.lit(1)).alias("n_in"),
+            F.count(F.when(base_accept, 1)).alias("n_base"),
             F.count(F.when(accept, 1)).alias("n_valid"),
+            *[
+                F.count(F.when(base_accept & fail, 1)).alias(f"q_{i}")
+                for i, fail in enumerate(rule_fail.values())
+            ],
         ).filter(accept)
 
         if dedup == "salted":
@@ -593,7 +626,29 @@ class MicroLakeTable:
         self._write(store).parquet(stage_dir)
         staged_files = self._list_epoch_files(stage_name)
         events_in = int(obs.get["n_in"])
-        events_rejected = events_in - int(obs.get["n_valid"])
+        events_rejected = events_in - int(obs.get["n_base"])
+        events_quarantined = int(obs.get["n_base"]) - int(obs.get["n_valid"])
+        quarantine_rules = {
+            name: int(obs.get[f"q_{i}"])
+            for i, name in enumerate(rule_fail)
+        }
+        if quarantine_dir and events_quarantined:
+            # dead-letter retention: second WAL scan, only on epochs
+            # with violations; overwrite-into-epoch-dir is replay-safe
+            any_fail = F.lit(False)
+            for fail in rule_fail.values():
+                any_fail = any_fail | fail
+            failed_arr = F.array_compact(F.array(*[
+                F.when(fail, F.lit(name))
+                for name, fail in rule_fail.items()
+            ]))
+            (
+                batch_df.filter(base_accept & any_fail)
+                .withColumn("_failed", failed_arr)
+                .withColumn("_commit_epoch", F.lit(epoch).cast("long"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(quarantine_dir, f"epoch={epoch}"))
+            )
 
         # 2. Per-bucket lineage from the staged files: a column-pruned
         #    parquet scan (seq/_deleted/_bucket), ≤ n_buckets result rows.
@@ -693,6 +748,9 @@ class MicroLakeTable:
             "merge_ms": merge_ms,
             "throughput_eps": (events_in * 1000.0 / merge_ms) if merge_ms else 0.0,
         }
+        if expectations:
+            metrics["events_quarantined"] = events_quarantined
+            metrics["quarantine_rules"] = quarantine_rules
         self._commit(epoch, keep + new_files, lineage, metrics, evolved,
                      read_dedup=read_dedup, extra=extra_manifest)
         return MergeResult(
@@ -703,6 +761,7 @@ class MicroLakeTable:
             buckets_touched=len(affected),
             merge_ms=merge_ms,
             lineage=lineage,
+            events_quarantined=events_quarantined,
         )
 
     # ---------------- maintenance ----------------
