@@ -172,6 +172,61 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+def wal_min_seq(*log_dirs: str) -> int | None:
+    """Smallest ``seq`` retained across the WAL dirs, from parquet
+    footer row-group statistics only (KB-sized metadata reads, no data
+    scan). O(files) driver work, paid ONCE at bootstrap cutover to
+    verify retention reaches the snapshot position; None if the WAL
+    holds no files or no seq stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    mn: int | None = None
+    for d in log_dirs:
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(d, fn))
+            try:
+                idx = md.schema.to_arrow_schema().get_field_index("seq")
+            except KeyError:
+                continue
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is not None and stats.has_min_max:
+                    v = int(stats.min)
+                    mn = v if mn is None else min(mn, v)
+    return mn
+
+
+def _bootstrap_cutover(table: MicroLakeTable, src: DataFrame,
+                       log_dirs: list[str]) -> DataFrame:
+    """Apply the snapshot-bootstrap cutover contract to a WAL source:
+    events at or below ``bootstrap_seq`` are already reflected in the
+    snapshot the table was created from (``from_snapshot``), so they
+    are filtered with a pushed ``seq >`` predicate (parquet row-group
+    pruning skips fully-overlapped files); on the FIRST post-bootstrap
+    run the WAL's retained minimum is checked to reach the cutover
+    point — a retention gap means missed changes and fails loudly
+    instead of silently diverging."""
+    bs = table.manifest.get("bootstrap_seq")
+    if bs is None:
+        return src
+    if table.last_committed_epoch < 0:
+        mn = wal_min_seq(*log_dirs)
+        if mn is not None and mn > int(bs) + 1:
+            raise ValueError(
+                f"WAL retention gap at bootstrap cutover: snapshot is "
+                f"as of seq {bs} but the WAL only retains seq >= {mn}; "
+                f"changes in ({bs}, {mn}) are lost — re-snapshot at a "
+                f"position the WAL still covers"
+            )
+    return src.filter(F.col("seq") > F.lit(int(bs)))
+
+
 def table_schema_for(log_schema: T.StructType) -> T.StructType:
     """Payload schema = log schema minus WAL columns (op, seq), keeping
     any extra evolved columns."""
@@ -218,6 +273,7 @@ def replay(
     log = spark.read.schema(wal_schema).parquet(*log_dirs)
     if stream_map is not None:
         log = apply_stream_map(log, stream_map)
+    log = _bootstrap_cutover(table, log, log_dirs)
 
     kw = dict(winner_transform=normalize_events, merge_mode=merge_mode,
               dedup=dedup, max_payload_bytes=max_payload_bytes,
@@ -312,6 +368,7 @@ def stream(
         src = part if src is None else src.unionByName(part)
     if stream_map is not None:
         src = apply_stream_map(src, stream_map)
+    src = _bootstrap_cutover(table, src, log_dirs)
 
     maintainers = []
     if rollup_path is not None:

@@ -144,6 +144,57 @@ class MicroLakeTable:
             return cls.load(spark, path)
         return cls.create(spark, path, schema, **kw)
 
+    @classmethod
+    def from_snapshot(
+        cls,
+        spark: SparkSession,
+        path: str,
+        snapshot_df: DataFrame,
+        as_of_seq: int,
+        n_buckets: int = 64,
+        keys: tuple[str, ...] = MERGE_KEYS,
+    ) -> "MicroLakeTable":
+        """Initial-snapshot bootstrap (Debezium snapshot-then-stream /
+        DMS full-load+CDC analog; the reference's FULL_TABLE first sync
+        before INCREMENTAL, /root/reference/tap_github/client.py:83-101):
+        create the table PRE-LOADED with a consistent final-state
+        snapshot taken at WAL position ``as_of_seq``, leaving the epoch
+        fence virgin (``last_committed_epoch = -1``) so a subsequent
+        ``stream()``/``replay()`` applies every WAL batch from the
+        checkpoint's start. Those paths read ``bootstrap_seq`` from the
+        manifest and push ``seq > bootstrap_seq`` into the WAL scan —
+        the overlap window the snapshot already reflects is skipped at
+        parquet row-group level, and WAL retention is verified to reach
+        the cutover point (no silent gap).
+
+        ``snapshot_df`` is FINAL STATE (one live row per key, no
+        op/seq). Rows are stamped ``_seq = as_of_seq``, so any
+        replayed overlap event would lose/win LWW on the data ``ts``
+        exactly as if applied before the snapshot was taken. One
+        cluster shuffle + key-sorted bucket write — same physical
+        layout as a merge epoch."""
+        if "op" in snapshot_df.columns or "seq" in snapshot_df.columns:
+            raise ValueError(
+                "from_snapshot takes FINAL-STATE rows (no op/seq "
+                "changelog columns); replay the WAL instead"
+            )
+        schema = T.StructType(list(snapshot_df.schema.fields))
+        table = cls.create(spark, path, schema, n_buckets=n_buckets,
+                           keys=keys)
+        store = snapshot_df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in schema.fields],
+            F.lit(int(as_of_seq)).cast("long").alias("_seq"),
+            F.lit(False).alias("_deleted"),
+        ).withColumn("_bucket", table._bucket_expr(keys[0]))
+        store = table._cluster(store)  # one writer task per bucket
+        dirname = f"bootstrap-{uuid.uuid4().hex[:8]}"
+        table._write(store).parquet(os.path.join(path, "data", dirname))
+        files = table._list_epoch_files(dirname)
+        table._commit(-1, files, [], None,
+                      extra={"bootstrap_seq": int(as_of_seq)})
+        return table
+
     # ---------------- properties ----------------
 
     @property
