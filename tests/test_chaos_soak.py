@@ -48,6 +48,7 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
         weekly_rollup_path=f"{tmp_dir}/weekly",
         text_index_path=f"{tmp_dir}/idx",
         join_view_path=f"{tmp_dir}/view", dim_path=f"{tmp_dir}/dim",
+        scd2_path=f"{tmp_dir}/hist",
     )
 
     # ---- chaos injection: deterministic RNG, every seam --------------
@@ -199,6 +200,9 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     tidx = TextIndexMaintainer(spark, table, paths["text_index_path"])
     dim_t = MicroLakeTable.load(spark, f"{tmp_dir}/dim")
     jvm = JoinViewMaintainer(spark, table, dim_t, paths["join_view_path"])
+    from tap_github_search_spark.streaming.scd2 import Scd2Maintainer
+
+    scd2 = Scd2Maintainer(spark, dim_t, paths["scd2_path"])
     # epoch v+1: NEW int column arrives mid-migration
     table.merge(
         _events(spark, [(10**9, "I", "widen_a", 0, 10**6, "fresh words")])
@@ -208,6 +212,7 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     maint2.apply_epoch(v + 1)
     tidx.apply_epoch(v + 1)
     jvm.apply_epoch(v + 1)
+    scd2.apply_epoch(v + 1)
     # epoch v+2: the SAME column widens int->long, migration still
     # pending — reader promotion must carry both generations
     table.merge(
@@ -219,6 +224,7 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     maint2.apply_epoch(v + 2)
     tidx.apply_epoch(v + 2)
     jvm.apply_epoch(v + 2)
+    scd2.apply_epoch(v + 2)
     while table.migrate_step(max_buckets=8):
         pass
     table = MicroLakeTable.load(spark, f"{tmp_dir}/t")
@@ -330,6 +336,31 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     evc = canon(join_view_state(table, dim_f).select(*gv.drop("ts").columns),
                 ["conv_id", "turn_idx"])
     pd.testing.assert_frame_equal(gvc, evc, check_dtype=False)
+
+    # ---- 8) SCD2 history converged through the same chaos ------------
+    # the maintainer ran inside the crash-injected stream AND the staged
+    # epochs; after the flush its current slice must equal the churned
+    # dim's final state, every closed interval must predate its
+    # successor, and the fenced dim version must be the dim's latest
+    scd2_f = Scd2Maintainer(spark, dim_f, paths["scd2_path"])
+    scd2_f.apply_epoch(flush)
+    hist = scd2_f.hist.snapshot_df()
+    cur = canon(
+        hist.filter(F.col("is_current") == 1)
+        .select("tool", "category", "cost_tier"), ["tool"])
+    dim_now = canon(
+        dim_f.snapshot_df().select("tool", "category", "cost_tier"),
+        ["tool"])
+    pd.testing.assert_frame_equal(cur, dim_now, check_dtype=False)
+    assert int(scd2_f.hist.manifest["dim_version_seen"]) == \
+        int(dim_f.manifest["version"])
+    bad = hist.alias("a").join(
+        hist.alias("b"),
+        (F.col("a.tool") == F.col("b.tool"))
+        & (F.col("a.effective_to") > F.col("b.effective_from"))
+        & (F.col("a.effective_from") < F.col("b.effective_from")),
+    ).count()
+    assert bad == 0  # no overlapping validity intervals per key
 
     # the maintenance loop really ran against live commits
     assert races["runs"] >= 1
