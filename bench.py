@@ -378,9 +378,32 @@ def main() -> None:
     # explained only by the throttle window shifting between the two
     # subprocesses; this check rejects such reps automatically).
     GATE_DRIFT_MAX = float(os.environ.get("SPARK_GRAFT_GATE_DRIFT", "1.25"))
+    # Optional pre-qualification (SPARK_GRAFT_GATE_WAIT_S > 0): before
+    # paying a rep's two multi-minute legs, demand two quick gate
+    # probes that already agree within the drift gate, waiting (bounded)
+    # for the throttle to settle — raises the fraction of reps that
+    # land inside a stable window without changing the in-rep gates
+    # that actually qualify a measurement.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_GATE_WAIT_S", "0"))
     rep_gates: list[list[float]] = []
     rep_stable: list[bool] = []
     for rep in range(reps):
+        if wait_budget > 0:
+            deadline = time.monotonic() + wait_budget
+            while True:
+                pre = [round(_memcpy_gbps(8), 2),
+                       round(_memcpy_gbps(8), 2)]
+                drift = max(pre) / max(min(pre), 1e-9)
+                if drift <= GATE_DRIFT_MAX:
+                    print(f"# rep {rep}: pre-qualified gates={pre}",
+                          file=sys.stderr, flush=True)
+                    break
+                if time.monotonic() >= deadline:
+                    print(f"# rep {rep}: pre-qualification timed out "
+                          f"(last probes={pre}); running anyway",
+                          file=sys.stderr, flush=True)
+                    break
+                time.sleep(20)
         gates = []
         for n in (8, 32):
             gates.append(round(_memcpy_gbps(8), 2))

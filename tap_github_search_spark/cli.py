@@ -168,6 +168,19 @@ def _parser() -> argparse.ArgumentParser:
                     help="signature-agreement threshold for verified "
                          "near_dups (est. Jaccard; default 0.3)")
 
+    ct = sub.add_parser(
+        "cut",
+        help="cross-table consistent cut: fences + common epoch as JSON",
+    )
+    ct.add_argument("--table", action="append", required=True,
+                    dest="tables", metavar="NAME=PATH",
+                    help="topology member (repeatable)")
+    ct.add_argument("--epoch", type=int, default=None,
+                    help="cut epoch (default: the common fence)")
+    ct.add_argument("--counts", action="store_true",
+                    help="also report live row counts at the cut "
+                         "(reads data; default is metadata-only)")
+
     mt = sub.add_parser(
         "maintain",
         help="auto-maintenance: compact/rebucket/vacuum per policy",
@@ -189,7 +202,7 @@ def _parser() -> argparse.ArgumentParser:
     mt.add_argument("--dry-run", action="store_true",
                     help="report decisions without acting")
 
-    for q in (rp, st, gn, dc, lk, fd, sr, nd, mt):
+    for q in (rp, st, gn, dc, lk, fd, sr, nd, ct, mt):
         q.add_argument("--cores", type=int, default=None,
                        help="local[N] when no external master is set")
     return p
@@ -411,6 +424,38 @@ def main(argv: list[str] | None = None) -> int:
                 ],
                 "candidates": raw,
             }))
+        return 0
+
+    if args.mode == "cut":
+        # cross-table consistent cut (streaming/topology.py): resolve
+        # the common fence across the named tables and report each
+        # member's cut version — metadata-only unless --counts asks
+        # for live row counts
+        import json as _json
+
+        from .streaming.topology import TopologySnapshot
+        from .table.microlake import MicroLakeTable
+
+        members: dict = {}
+        for spec in args.tables:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--table wants NAME=PATH, got '{spec}'")
+            members[name] = MicroLakeTable.load(spark, path)
+        topo = TopologySnapshot(spark, members)
+        fences = topo.fences()
+        cut = topo.tables_at(args.epoch)
+        out = {
+            "fences": fences,
+            "cut_epoch": (args.epoch if args.epoch is not None
+                          else min(fences.values())),
+            "versions": {n: t.manifest["version"]
+                         for n, t in cut.items()},
+        }
+        if args.counts:
+            out["rows"] = {n: t.snapshot_df().count()
+                           for n, t in cut.items()}
+        print(_json.dumps(out, sort_keys=True))
         return 0
 
     if args.mode == "maintain":

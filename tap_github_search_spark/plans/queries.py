@@ -330,6 +330,69 @@ FROM winners GROUP BY commit_epoch
 """
 
 
+def q_cdc_topology_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistent cut (``streaming/topology.py``) exercised
+    end-to-end: the WAL's first seq-slice is merged as epoch 0 with its
+    conv rollup maintained in lockstep, then the second slice is merged
+    into the FACT ONLY — the topology's common fence stays at epoch 0,
+    and the returned cut rollup must equal a recompute over the first
+    slice alone. Resolving the cut walks the fact table PAST its newer
+    epoch-1 head version, so the oracle fails if the cut leaks epoch-1
+    state (read skew) or resolves the wrong manifest version."""
+    import shutil
+    import uuid
+
+    from ..streaming.derived import RollupMaintainer
+    from ..streaming.job import replay
+    from ..streaming.topology import TopologySnapshot
+
+    sf = sf_from_dir(sf_dir)
+    ensure_changelog(spark, sf)
+    log = spark.read.parquet(changelog_dir(sf))
+    b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    cutoff = int(b["lo"]) + max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 2)
+    base = f"/root/repo/data/tmp/cut_q_{uuid.uuid4().hex[:8]}"
+    try:
+        log.filter(F.col("seq") < cutoff).write.mode(
+            "overwrite").parquet(f"{base}/log0")
+        table, results = replay(spark, [f"{base}/log0"], f"{base}/t",
+                                n_buckets=32)
+        maint = RollupMaintainer(spark, table, f"{base}/roll")
+        maint.apply_epoch(results[0].epoch)
+        table.merge(log.filter(F.col("seq") >= cutoff),
+                    epoch=results[0].epoch + 1)
+        cut = TopologySnapshot(
+            spark, {"fact": table, "rollup": maint.child}
+        ).at_epoch()  # common fence == epoch 0
+        out = cut["rollup"].drop("ts").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_CDC_TOPOLOGY_CUT = f"""
+WITH bounds AS (
+  SELECT min(seq) AS lo,
+         greatest(1, (max(seq) - min(seq) + 1) // 2) AS step
+  FROM read_parquet('{_ORACLE_LOG}')
+),
+winners AS (
+  SELECT * FROM (
+    SELECT l.*, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM read_parquet('{_ORACLE_LOG}') l, bounds b
+    WHERE l.seq < b.lo + b.step
+  ) WHERE rn = 1
+)
+SELECT conv_id, count(*) AS n_turns,
+       count(*) FILTER (role = 'tool') AS n_tool_turns,
+       count(DISTINCT role) AS n_roles,
+       sum(length({_NORM})) AS total_chars,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM winners WHERE op <> 'D' GROUP BY conv_id
+"""
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC *out* through the real engine: replay the WAL as 2 commit
     epochs, then emit the incremental change feed between the epoch-0
@@ -1406,6 +1469,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "explode_props_map": (q_explode_props_map, SQL_EXPLODE_PROPS_MAP),
     "cdc_op_stats": (q_cdc_op_stats, SQL_CDC_OP_STATS),
     "cdc_lineage": (q_cdc_lineage, SQL_CDC_LINEAGE),
+    "cdc_topology_cut": (q_cdc_topology_cut, SQL_CDC_TOPOLOGY_CUT),
     "cdc_change_feed": (q_cdc_change_feed, SQL_CDC_CHANGE_FEED),
     "conv_sessions": (q_conv_sessions, SQL_CONV_SESSIONS),
     "cdc_conv_rollup": (q_cdc_conv_rollup, SQL_CDC_CONV_ROLLUP),
@@ -1996,10 +2060,11 @@ _DRIVER_PRIORITY = [
     # -- new r5 entries: never driver-checked
     "emb_ivf_ann_multiprobe", "emb_dedup_clusters", "cdc_join_view",
     "cdc_scd2_turn_history", "cdc_expectation_stats",
+    "cdc_topology_cut",
     # -- retained previously-green coverage rows (agg_monthly_counts
-    # rotated to the tail to keep the prefix at 50: r4-green, trivial
-    # aggregate, still under the local parity gate)
-    "search_counts", "join_enrich_orders",
+    # and search_counts rotated to the tail to keep the prefix at 50:
+    # both r4-green, unchanged, still under the local parity gate)
+    "join_enrich_orders",
     "events_hypertable_rollup", "docs_inverted_index",
     "docs_contamination", "docs_curation_pipeline",
     "conv_lsh_bands",

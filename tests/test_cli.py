@@ -278,3 +278,36 @@ def test_cli_near_dups_candidate_lookup(spark, tmp_dir, capsys):
     ]
     assert by_id["absent"]["candidates"] == []
     assert by_id["absent"]["near_dups"] == []
+
+
+def test_cli_cut_reports_consistent_cut(spark, tmp_dir, capsys):
+    """`cut` resolves the cross-table common fence: with the fact one
+    epoch ahead of its rollup, the cut lands at the rollup's fence,
+    the fact's reported version is the OLDER manifest, and --epoch
+    past the laggard refuses with the laggard named."""
+    from tap_github_search_spark.streaming.derived import RollupMaintainer
+    from tap_github_search_spark.streaming.job import replay
+    from tests.test_engine import _events
+
+    rows = [(i, "I", f"c{i % 4}", i // 4, 10 + i) for i in range(8)]
+    _events(spark, rows).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, results = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                            n_buckets=2)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/roll")
+    maint.apply_epoch(results[0].epoch)
+    v_fact_e0 = table.manifest["version"]
+    table.merge(_events(spark, [(100, "U", "c0", 0, 100, "v2")]), epoch=1)
+
+    rc = main(["cut", "--table", f"fact={tmp_dir}/t",
+               "--table", f"rollup={tmp_dir}/roll", "--counts"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["fences"] == {"fact": 1,
+                             "rollup": results[0].epoch}
+    assert rep["cut_epoch"] == results[0].epoch
+    assert rep["versions"]["fact"] == v_fact_e0
+    assert rep["rows"] == {"fact": 8, "rollup": 4}
+
+    with pytest.raises(ValueError, match="rollup@"):
+        main(["cut", "--table", f"fact={tmp_dir}/t",
+              "--table", f"rollup={tmp_dir}/roll", "--epoch", "1"])
