@@ -39,7 +39,12 @@ import sys
 import time
 
 SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "3200000"))
-SCALING_LOG = "/root/repo/data/cdc/scaling/changelog"
+# SPARK_GRAFT_SCALING_DIR: alternate cached-WAL location — pairs with
+# SPARK_GRAFT_SCALING_CONVS to run SHORT legs (a rep must fit inside
+# one stable throttle window on this VM; see BENCH/BASELINE.md §7)
+SCALING_LOG = os.environ.get(
+    "SPARK_GRAFT_SCALING_DIR", "/root/repo/data/cdc/scaling/changelog"
+)
 
 
 def _burn(_):

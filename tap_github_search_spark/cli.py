@@ -58,7 +58,7 @@ VALID_CONFIG_KEYS = REQUIRED_CONFIG_KEYS | {
     "optimize_opts", "text_index_path", "lsh_index_path",
     "join_view_path", "dim_path", "scd2_path", "max_payload_bytes",
     "expectations", "quarantine_dir",
-    "stream_map", "epochs", "follow", "cores",
+    "stream_map", "epochs", "follow", "cores", "wap_audit",
 }
 
 
@@ -122,6 +122,12 @@ def _parser() -> argparse.ArgumentParser:
     st.add_argument("--max-files-per-trigger", type=int, default=2)
     st.add_argument("--follow", action="store_true",
                     help="keep tailing instead of availableNow")
+    st.add_argument("--audit", action="append", default=None,
+                    metavar="RULE=SQL",
+                    help="write-audit-publish: stage each epoch on a "
+                         "branch, publish only if every row of the "
+                         "branch snapshot satisfies the predicate "
+                         "(repeatable)")
 
     gn.add_argument("--out", required=True)
     gn.add_argument("--convs", type=int, default=1000)
@@ -181,6 +187,20 @@ def _parser() -> argparse.ArgumentParser:
                     help="also report live row counts at the cut "
                          "(reads data; default is metadata-only)")
 
+    rf = sub.add_parser(
+        "ref",
+        help="named refs: tag / branch / publish (WAP) / drop / list",
+    )
+    rf.add_argument("action",
+                    choices=["tag", "branch", "publish", "drop", "list"])
+    rf.add_argument("--table", required=True, help="lake table path")
+    rf.add_argument("--name", default=None, help="ref name")
+    rf.add_argument("--version", type=int, default=None,
+                    help="tag at this snapshot version (default: head)")
+    rf.add_argument("--audit", action="append", default=None,
+                    metavar="RULE=SQL",
+                    help="publish-time audit predicate (repeatable)")
+
     mt = sub.add_parser(
         "maintain",
         help="auto-maintenance: compact/rebucket/vacuum per policy",
@@ -202,7 +222,7 @@ def _parser() -> argparse.ArgumentParser:
     mt.add_argument("--dry-run", action="store_true",
                     help="report decisions without acting")
 
-    for q in (rp, st, gn, dc, lk, fd, sr, nd, ct, mt):
+    for q in (rp, st, gn, dc, lk, fd, sr, nd, ct, rf, mt):
         q.add_argument("--cores", type=int, default=None,
                        help="local[N] when no external master is set")
     return p
@@ -290,6 +310,18 @@ def discover_plan(spark, log_dirs: list[str], table_path: str | None) -> dict:
     return plan
 
 
+def _parse_audit(specs: list[str] | None) -> dict[str, str] | None:
+    if not specs:
+        return None
+    rules: dict[str, str] = {}
+    for spec in specs:
+        name, sep, pred = spec.partition("=")
+        if not sep or not name or not pred:
+            raise SystemExit(f"--audit wants RULE=SQL, got '{spec}'")
+        rules[name] = pred
+    return rules
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
 
@@ -325,6 +357,7 @@ def main(argv: list[str] | None = None) -> int:
         args.quarantine_dir = cfg.get("quarantine_dir")
         args.max_payload_bytes = cfg.get("max_payload_bytes")
         args.stream_map = cfg.get("stream_map")
+        args.wap_audit = cfg.get("wap_audit")
     else:
         args.merge_mode, args.dedup, args.rollup_path = "cow", "window", None
         args.daily_rollup_path = None
@@ -458,6 +491,35 @@ def main(argv: list[str] | None = None) -> int:
         print(_json.dumps(out, sort_keys=True))
         return 0
 
+    if args.mode == "ref":
+        # snapshot refs as operations: tags pin reproducible corpus
+        # versions (vacuum GC roots), branches stage epochs invisibly,
+        # publish is the audited fast-forward (WAP)
+        from .table.microlake import MicroLakeTable
+
+        table = MicroLakeTable.load(spark, args.table)
+        if args.action == "list":
+            print(json.dumps(table.list_refs(), sort_keys=True))
+            return 0
+        if not args.name:
+            raise SystemExit(f"ref {args.action} requires --name")
+        if args.action == "tag":
+            table.create_tag(args.name, version=args.version)
+            out = dict(table._read_ref(args.name), name=args.name)
+        elif args.action == "branch":
+            bt = table.branch_begin(args.name)
+            out = dict(table._read_ref(args.name), name=args.name,
+                       version=bt.manifest["version"])
+        elif args.action == "publish":
+            v = table.publish_branch(args.name,
+                                     audit=_parse_audit(args.audit))
+            out = {"name": args.name, "published_version": v}
+        else:
+            table.drop_ref(args.name)
+            out = {"name": args.name, "dropped": True}
+        print(json.dumps(out, sort_keys=True))
+        return 0
+
     if args.mode == "maintain":
         # the scheduled table-maintenance loop (Iceberg OPTIMIZE +
         # expire_snapshots analog): decisions from O(files) manifest
@@ -527,6 +589,8 @@ def main(argv: list[str] | None = None) -> int:
         quarantine_dir=args.quarantine_dir,
         max_payload_bytes=args.max_payload_bytes,
         stream_map=args.stream_map,
+        wap_audit=(getattr(args, "wap_audit", None)
+                   or _parse_audit(getattr(args, "audit", None))),
     )
     print(json.dumps({
         "last_committed_epoch": table.last_committed_epoch,

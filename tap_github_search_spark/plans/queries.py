@@ -387,7 +387,7 @@ winners AS (
 SELECT conv_id, count(*) AS n_turns,
        count(*) FILTER (role = 'tool') AS n_tool_turns,
        count(DISTINCT role) AS n_roles,
-       sum(length({_NORM})) AS total_chars,
+       sum(length({_NORM}))::BIGINT AS total_chars,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM winners WHERE op <> 'D' GROUP BY conv_id
 """
@@ -469,6 +469,53 @@ def q_cdc_replica_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the replica must equal the WAL winners — the same oracle as the
 #: direct replay, reached through the change-feed consumer loop instead
 SQL_CDC_REPLICA = SQL_CDC_REPLAY
+
+
+def q_cdc_wap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish ingest, end-to-end: the WAL replayed in two
+    epochs where EACH epoch is staged on a per-epoch branch ref, audited
+    (table-level predicates over the branch snapshot), and only then
+    fast-forwarded to main — the Iceberg spark.wap.branch pattern the
+    reference approximates with its pre-emit record validation
+    (/root/reference/tap_github/client.py:214-226, schema conformance
+    before RECORD emission; here the gate is transactional, so a bad
+    epoch is never visible to readers). Matching the plain-replay
+    winners oracle proves branch staging + audit + fast-forward publish
+    compose to exactly the same table state as direct commits.
+
+    Scale shape: identical to the plain replay (same single-shuffle
+    MERGE per epoch) plus one aggregate-only pass over the branch
+    snapshot per audit — no extra shuffle, no extra rewrite; the
+    publish itself is a metadata pointer swap."""
+    import shutil
+    import uuid
+
+    from ..streaming.job import replay
+
+    sf = sf_from_dir(sf_dir)
+    ensure_changelog(spark, sf)
+    path = f"/root/repo/data/tmp/wap_{uuid.uuid4().hex[:8]}"
+    try:
+        table, _ = replay(
+            spark, [changelog_dir(sf)], path, n_buckets=32, n_epochs=2,
+            wap_audit={
+                "pk_present":
+                    "conv_id IS NOT NULL AND turn_idx IS NOT NULL",
+                "role_known":
+                    "role IN ('user','assistant','system','tool')",
+            },
+        )
+        out = table.snapshot_df().select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        )
+        out = out.localCheckpoint()  # materialize before dir cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+#: WAP-gated ingest must land the same final state as direct commits
+SQL_CDC_WAP_REPLAY = SQL_CDC_REPLAY
 
 
 # mirrors replay(n_epochs=2): epoch 0 covers seq in [lo, lo+step)
@@ -1502,6 +1549,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_extract_metrics": (q_text_extract_metrics,
                              SQL_TEXT_EXTRACT_METRICS),
     "cdc_replica_roundtrip": (q_cdc_replica_roundtrip, SQL_CDC_REPLICA),
+    "cdc_wap_replay": (q_cdc_wap_replay, SQL_CDC_WAP_REPLAY),
     "docs_oversize_guard": (q_docs_oversize_guard, SQL_DOCS_OVERSIZE_GUARD),
 }
 
@@ -2060,18 +2108,18 @@ _DRIVER_PRIORITY = [
     # -- new r5 entries: never driver-checked
     "emb_ivf_ann_multiprobe", "emb_dedup_clusters", "cdc_join_view",
     "cdc_scd2_turn_history", "cdc_expectation_stats",
-    "cdc_topology_cut",
+    "cdc_topology_cut", "cdc_wap_replay",
     # -- retained previously-green coverage rows (agg_monthly_counts
     # and search_counts rotated to the tail to keep the prefix at 50:
     # both r4-green, unchanged, still under the local parity gate)
-    "join_enrich_orders",
     "events_hypertable_rollup", "docs_inverted_index",
     "docs_contamination", "docs_curation_pipeline",
     "conv_lsh_bands",
 ]
-# emb_lsh_ann / docs_exact_dedup rotated to the tail for the two new
-# CDC slots (scd2 / expectation_stats): both r4 driver-green, unchanged
-# since, still under the local driver-identical parity gate.
+# emb_lsh_ann / docs_exact_dedup / join_enrich_orders rotated to the
+# tail for the new CDC slots (scd2 / expectation_stats / wap_replay):
+# all r4 driver-green, unchanged since, still under the local
+# driver-identical parity gate.
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
 assert not _missing, f"driver priority references unknown queries: {_missing}"

@@ -241,6 +241,27 @@ def table_schema_for(log_schema: T.StructType) -> T.StructType:
 
 # ---------------------------------------------------------------- batch
 
+def _merge_epoch(table, batch_df, epoch: int, kw: dict,
+                 wap_audit: dict[str, str] | None):
+    """One epoch's commit, plain or write-audit-publish. WAP stages
+    the merge on a per-epoch branch (``reset=True`` ⇒ crash redelivery
+    just re-points the branch; abandoned attempts become vacuum-able
+    orphans), audits the BRANCH snapshot, and only then fast-forwards
+    main — a failing epoch is never visible to main readers. A skipped
+    merge means the epoch fence says it is already PUBLISHED (a crash
+    landed after publish, before checkpoint commit): drop the branch."""
+    if wap_audit is None:
+        return table.merge(batch_df, epoch=epoch, **kw)
+    ref = f"wap-epoch-{epoch}"
+    br = table.branch_begin(ref, reset=True)
+    res = br.merge(batch_df, epoch=epoch, **kw)
+    if res.skipped:
+        table.drop_ref(ref)
+    else:
+        table.publish_branch(ref, audit=wap_audit)
+    return res
+
+
 def replay(
     spark: SparkSession,
     log_dirs: list[str],
@@ -253,12 +274,16 @@ def replay(
     expectations: dict[str, str] | None = None,
     quarantine_dir: str | None = None,
     stream_map: dict | None = None,
+    wap_audit: dict[str, str] | None = None,
 ) -> tuple[MicroLakeTable, list[MergeResult]]:
     """Batch-replay the whole WAL into a fresh-or-existing table.
 
     ``n_epochs > 1`` splits the log into seq-ranged slices applied as
     separate commits — the batch twin of microbatching, used by tests to
     exercise multi-epoch MERGE/fence paths deterministically.
+
+    ``wap_audit``: write-audit-publish per epoch (see ``stream``) —
+    each slice is staged on a branch, audited, then fast-forwarded.
     """
     wal_schema = discover_schema(spark, *log_dirs)
     schema = wal_schema
@@ -281,7 +306,8 @@ def replay(
     results: list[MergeResult] = []
     if n_epochs <= 1:
         results.append(
-            table.merge(log, epoch=table.last_committed_epoch + 1, **kw)
+            _merge_epoch(table, log, table.last_committed_epoch + 1,
+                         kw, wap_audit)
         )
         return table, results
 
@@ -292,7 +318,8 @@ def replay(
         b = int(hi) + 1 if i == n_epochs - 1 else a + step
         part = log.filter((F.col("seq") >= a) & (F.col("seq") < b))
         results.append(
-            table.merge(part, epoch=table.last_committed_epoch + 1, **kw)
+            _merge_epoch(table, part, table.last_committed_epoch + 1,
+                         kw, wap_audit)
         )
     return table, results
 
@@ -325,6 +352,7 @@ def stream(
     expectations: dict[str, str] | None = None,
     quarantine_dir: str | None = None,
     stream_map: dict | None = None,
+    wap_audit: dict[str, str] | None = None,
 ):
     """Tail the WAL with a file streaming source and MERGE each
     microbatch. ``foreachBatch(batchId)`` is the commit epoch; Spark
@@ -342,6 +370,17 @@ def stream(
 
     ``fail_after_batches`` injects a mid-stream crash for resumability
     tests (FIXTURES.md §4).
+
+    ``wap_audit``: write-audit-publish mode (Iceberg spark.wap.branch
+    analog). Each epoch merges into a per-epoch staging branch,
+    table-level audit rules run over the BRANCH snapshot, and only a
+    passing audit fast-forwards ``_current`` — main readers can never
+    observe an epoch that fails its invariants. An audit failure
+    fails the stream (main untouched); the branch stays behind for
+    inspection. Crash anywhere in the branch→audit→publish window is
+    safe: branch redelivery resets the branch, a crash between the
+    manifest link and a pointer swap rolls forward via commit
+    adoption, and abandoned branch residue is stepped over.
     """
     schema = discover_schema(spark, *log_dirs)
     table_schema = schema
@@ -410,12 +449,12 @@ def stream(
     seen = {"n": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        res = table.merge(batch_df, epoch=batch_id,
-                          winner_transform=normalize_events,
-                          merge_mode=merge_mode, dedup=dedup,
-                          max_payload_bytes=max_payload_bytes,
-                          expectations=expectations,
-                          quarantine_dir=quarantine_dir)
+        kw = dict(winner_transform=normalize_events,
+                  merge_mode=merge_mode, dedup=dedup,
+                  max_payload_bytes=max_payload_bytes,
+                  expectations=expectations,
+                  quarantine_dir=quarantine_dir)
+        res = _merge_epoch(table, batch_df, batch_id, kw, wap_audit)
         if (compact_every and not res.skipped
                 and (batch_id + 1) % compact_every == 0):
             table.compact()

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -63,6 +64,12 @@ class ConcurrentCommitError(RuntimeError):
     *different* batch would silently drop its data."""
 
 
+class AuditFailedError(RuntimeError):
+    """A write-audit-publish audit rejected the staged branch: main's
+    published state was NOT advanced; the branch is left in place for
+    inspection (``load_ref``) and can be dropped or re-audited."""
+
+
 @dataclass
 class MergeResult:
     epoch: int
@@ -83,6 +90,10 @@ class MicroLakeTable:
         self.spark = spark
         self.path = path
         self.manifest = manifest
+        #: when set, commits publish to ``_refs/<name>`` instead of
+        #: ``_current`` — the write-audit-publish staging branch
+        #: (Iceberg branch ref / spark.wap.branch analog)
+        self._ref: str | None = None
 
     # ---------------- lifecycle ----------------
 
@@ -466,7 +477,7 @@ class MicroLakeTable:
         self._commit(
             self.last_committed_epoch, self.manifest["files"], [],
             metrics=None, evolved_schema=T.StructType(fields),
-            extra={"renames": mapping},
+            extra={"renames": mapping}, op=("rename", old, new),
         )
 
     def drop_column(self, name: str) -> None:
@@ -490,6 +501,7 @@ class MicroLakeTable:
             self.last_committed_epoch, self.manifest["files"], [],
             metrics=None, evolved_schema=T.StructType(fields),
             extra={"renames": mapping, "dropped_physical": dropped},
+            op=("drop-column", name),
         )
 
     # ---------------- MERGE ----------------
@@ -803,7 +815,8 @@ class MicroLakeTable:
             metrics["events_quarantined"] = events_quarantined
             metrics["quarantine_rules"] = quarantine_rules
         self._commit(epoch, keep + new_files, lineage, metrics, evolved,
-                     read_dedup=read_dedup, extra=extra_manifest)
+                     read_dedup=read_dedup, extra=extra_manifest,
+                     op=("merge",))
         return MergeResult(
             epoch=epoch,
             events_in=events_in,
@@ -855,7 +868,7 @@ class MicroLakeTable:
                 # the same key — bucket-id grouping can't see it)
                 self._commit(self.last_committed_epoch,
                              self.manifest["files"], [], metrics=None,
-                             read_dedup=False)
+                             read_dedup=False, op=("compact-clear",))
             return 0
         files = [f for fs in multi.values() for f in fs]
         df = self._read_files(files)
@@ -879,7 +892,7 @@ class MicroLakeTable:
             or bool(self.manifest.get("migration_pending"))
         )
         self._commit(epoch, keep + new_files, [], metrics=None,
-                     read_dedup=still_dedup)
+                     read_dedup=still_dedup, op=("compact",))
         return len(multi)
 
     # ------------- progressive partition-spec migration --------------
@@ -924,6 +937,7 @@ class MicroLakeTable:
                 "migration_pending": True,
                 "last_rebucket_version": self.manifest["version"] + 1,
             },
+            op=("rebucket-start", new_n),
         )
 
     def migrate_step(self, max_buckets: int = 64) -> int:
@@ -948,7 +962,8 @@ class MicroLakeTable:
             if self.manifest.get("migration_pending"):
                 self._commit(self.last_committed_epoch,
                              self.manifest["files"], [], metrics=None,
-                             extra={"migration_pending": False})
+                             extra={"migration_pending": False},
+                             op=("migrate-complete",))
             return 0
         groups = sorted(old)[:max_buckets]
         picked = [f for g in groups for f in old[g]]
@@ -969,6 +984,7 @@ class MicroLakeTable:
             epoch, keep + self._list_epoch_files(dirname), [],
             metrics=None,
             extra={"migration_pending": remaining > 0},
+            op=("migrate",),
         )
         return remaining
 
@@ -1000,6 +1016,7 @@ class MicroLakeTable:
         new_files = self._list_epoch_files(dirname)
         self._commit(
             epoch, new_files, [], metrics=None, read_dedup=False,
+            op=("rebucket", new_n),
             extra={
                 "n_buckets": new_n,
                 # spec-evolution fence: change_feed intervals crossing
@@ -1029,7 +1046,25 @@ class MicroLakeTable:
             n for n in os.listdir(mdir) if n.startswith("manifest-")
         )
         keep_versions = max(1, keep_versions)
-        retained, dropped = names[-keep_versions:], names[:-keep_versions]
+        # named refs are GC roots: a tagged version stays
+        # time-travelable and a live branch head keeps its (not yet
+        # published) files, regardless of keep_versions. Intermediate
+        # branch versions get no such protection — only the head is
+        # reachable through the ref.
+        # _current is a root too: with a live branch the NEWEST
+        # manifests can be branch commits, so names[-keep_versions:]
+        # alone could drop the very manifest main serves.
+        ref_roots = {r["manifest"] for r in self.list_refs().values()}
+        try:
+            with open(os.path.join(self.path, "_current")) as f:
+                ref_roots.add(f.read().strip())
+        except FileNotFoundError:
+            pass
+        retained = [
+            n for n in names
+            if n in ref_roots or n in names[-keep_versions:]
+        ]
+        dropped = [n for n in names if n not in set(retained)]
         referenced: set[str] = set()
         for n in retained:
             with open(os.path.join(mdir, n)) as f:
@@ -1321,6 +1356,7 @@ class MicroLakeTable:
                 "metrics_segments": kept_refs["metrics"],
                 "lineage_complete_after_epoch": fence,
             },
+            op=("expire-metadata", keep_epochs),
         )
         for rel in removed:
             try:
@@ -1545,8 +1581,19 @@ class MicroLakeTable:
         evolved_schema: T.StructType | None = None,
         read_dedup: bool | None = None,
         extra: dict | None = None,
+        op: tuple | None = None,
     ) -> None:
         m = dict(self.manifest)
+        if op is not None:
+            m["commit_op"] = list(op)
+        # provenance stamp for version-collision triage: manifests
+        # committed through a branch handle carry the branch name (and
+        # a main commit must NOT inherit the stamp from a published
+        # branch manifest it builds on)
+        if self._ref is not None:
+            m["commit_ref"] = self._ref
+        else:
+            m.pop("commit_ref", None)
         if extra:
             m.update(extra)
         m["version"] = self.manifest["version"] + 1
@@ -1583,8 +1630,91 @@ class MicroLakeTable:
             m["metrics_segments"] = self.manifest.get(
                 "metrics_segments", []
             ) + new_segs
-        self._commit_manifest(m)
+        while True:
+            try:
+                self._commit_manifest(m)
+                break
+            except ConcurrentCommitError:
+                if op is not None and self._adopt_crashed_commit(m):
+                    return
+                if self._stale_version_occupant(m["version"]):
+                    # an abandoned (dropped or reset) branch left an
+                    # orphan manifest at this version — version numbers
+                    # are never reused, so step over it. Without this,
+                    # one dropped branch would block main's CAS forever
+                    # (the orphans sort NEWEST, so vacuum keeps them).
+                    m["version"] += 1
+                    continue
+                raise
         self.manifest = m
+
+    def _stale_version_occupant(self, version: int) -> bool:
+        """Is manifest-``version`` residue of an ABANDONED branch (safe
+        to skip past), as opposed to a live writer's commit (raise)?
+        Residue iff it is stamped with a branch name whose ref is gone,
+        is no longer a branch, or — a reset branch reusing the name —
+        whose live head is still BELOW this version."""
+        name = f"manifest-{version:08d}.json"
+        try:
+            with open(os.path.join(self.path, "_manifests", name)) as f:
+                existing = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        ref_name = existing.get("commit_ref")
+        if not ref_name:
+            return False  # a main-line commit: genuine concurrent writer
+        ref = self.list_refs().get(ref_name)
+        if ref is None or ref.get("kind") != "branch":
+            return True
+        head_v = int(ref["manifest"][len("manifest-"):-len(".json")])
+        return head_v < version
+
+    def _adopt_crashed_commit(self, m: dict) -> bool:
+        """Roll-forward for a crash BETWEEN the manifest CAS-link and
+        the pointer swap. On restart the epoch fence re-delivers the
+        same logical commit with the same version number; the CAS then
+        hits the crashed attempt's already-linked manifest and, without
+        this, the table is bricked behind ``ConcurrentCommitError``
+        forever. If the linked manifest records the SAME logical commit
+        — identical ``commit_op`` identity and epoch fence — the prior
+        attempt is complete except for the pointer: its data files were
+        staged before the link (and the vacuum grace window protects
+        them), so publishing the pointer finishes the commit (Iceberg's
+        commit-state-unknown reconciliation). Any mismatch means a
+        genuinely different writer owns the version — the caller's
+        ConcurrentCommitError stands. This attempt's own staged files
+        become orphans; vacuum removes them."""
+        name = f"manifest-{m['version']:08d}.json"
+        try:
+            with open(os.path.join(self.path, "_manifests", name)) as f:
+                existing = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        if (existing.get("commit_op") != m.get("commit_op")
+                or existing.get("commit_ref") != m.get("commit_ref")
+                or existing.get("last_committed_epoch")
+                != m["last_committed_epoch"]):
+            return False
+        # content fence: same epoch is NOT enough — a live concurrent
+        # writer can race a DIFFERENT batch under the same epoch number
+        # and adoption would silently drop its data. The epoch's
+        # per-bucket lineage (seq ranges + row counts) is deterministic
+        # for a redelivered batch and differs for a different one.
+        # (Maintenance ops carry no lineage — both sides empty — and
+        # are deterministic functions of the same base snapshot.)
+        def _sig(man: dict) -> list[tuple]:
+            return sorted(
+                (r["partition_id"], r["seq_min"], r["seq_max"],
+                 r["rows_applied"], r["rows_deleted"])
+                for r in man.get("lineage", [])
+                if r["commit_epoch"] == man.get("last_committed_epoch")
+            )
+
+        if _sig(existing) != _sig(m):
+            return False
+        self._publish_pointer(name)
+        self.manifest = existing
+        return True
 
     def _commit_manifest(self, manifest: dict) -> None:
         """Write manifest-{v}.json then atomically swap the pointer.
@@ -1616,6 +1746,18 @@ class MicroLakeTable:
             ) from None
         finally:
             os.remove(tmp)
+        self._publish_pointer(name)
+
+    def _publish_pointer(self, name: str) -> None:
+        """Atomically point this handle's publish target at manifest
+        ``name``: ``_current`` for the main table, the branch ref file
+        for a WAP staging branch (main readers never see branch
+        commits until ``publish_branch`` fast-forwards)."""
+        if self._ref is not None:
+            ref = self._read_ref(self._ref)
+            ref["manifest"] = name
+            self._write_ref(self._ref, ref, overwrite=True)
+            return
         ptr_tmp = os.path.join(self.path, "._current.tmp")
         with open(ptr_tmp, "w") as f:
             f.write(name)
@@ -1704,6 +1846,184 @@ class MicroLakeTable:
     def snapshot_at(self, version: int) -> DataFrame:
         """Time travel: the user-facing state as of an older version."""
         return MicroLakeTable.load(self.spark, self.path, version).snapshot_df()
+
+    # ------- named refs: tags, branches, write-audit-publish ---------
+    #
+    # Iceberg refs analog. A TAG is an immutable named pointer at a
+    # snapshot version — a reproducibility anchor ("the corpus the
+    # 2026-08 model trained on") that vacuum treats as a GC root. A
+    # BRANCH is a writable pointer: a handle returned by
+    # ``branch_begin`` commits ordinary manifests (same global CAS —
+    # version numbers stay unique table-wide) but publishes them to
+    # ``_refs/<name>`` instead of ``_current``, so main readers never
+    # observe staged epochs. ``publish_branch`` is the
+    # write-AUDIT-publish gate (Iceberg's spark.wap.branch +
+    # fast_forward): it verifies main has not advanced past the branch
+    # base, runs table-level audit rules over the BRANCH snapshot, and
+    # atomically fast-forwards ``_current`` to the branch head — or
+    # raises and leaves main untouched. Single-writer-per-branch, same
+    # contract as the rest of the engine (the manifest CAS turns any
+    # true race into a loud ConcurrentCommitError, never a clobber).
+
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+    def _ref_file(self, name: str) -> str:
+        if not self._REF_NAME_RE.match(name):
+            raise ValueError(f"invalid ref name: {name!r}")
+        return os.path.join(self.path, "_refs", f"{name}.json")
+
+    def _read_ref(self, name: str) -> dict:
+        try:
+            with open(self._ref_file(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name}") from None
+
+    def _write_ref(self, name: str, payload: dict,
+                   overwrite: bool = False) -> None:
+        d = os.path.join(self.path, "_refs")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = self._ref_file(name)
+        if overwrite:
+            os.replace(tmp, final)
+            return
+        try:
+            os.link(tmp, final)  # create-if-absent CAS, as for manifests
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"ref already exists: {name}"
+            ) from None
+        finally:
+            os.remove(tmp)
+
+    def list_refs(self) -> dict[str, dict]:
+        """All named refs: ``{name: {kind, manifest[, base]}}``."""
+        d = os.path.join(self.path, "_refs")
+        out: dict[str, dict] = {}
+        if not os.path.isdir(d):
+            return out
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json") and not fn.startswith("."):
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[:-5]] = json.load(f)
+        return out
+
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        """Immutable named snapshot pointer. Defaults to this handle's
+        version. Tagged versions survive ``vacuum`` regardless of
+        ``keep_versions`` (GC root) — time travel to a tag never
+        breaks until ``drop_ref``."""
+        v = self.manifest["version"] if version is None else int(version)
+        mname = f"manifest-{v:08d}.json"
+        if not os.path.exists(os.path.join(self.path, "_manifests", mname)):
+            raise ValueError(f"no such version: {v}")
+        self._write_ref(name, {"kind": "tag", "manifest": mname})
+
+    def branch_begin(self, name: str, reset: bool = False
+                     ) -> "MicroLakeTable":
+        """Open a WAP staging branch at this handle's version and
+        return a table handle whose commits publish to the branch ref.
+        ``reset=True`` re-points an existing branch here and discards
+        its unpublished commits — the idempotent-redelivery path (a
+        stream that crashed between branch commit and publish re-opens
+        the same branch name for the re-delivered epoch; the abandoned
+        attempt's manifests/files become vacuum-able orphans)."""
+        head = f"manifest-{self.manifest['version']:08d}.json"
+        payload = {"kind": "branch", "manifest": head, "base": head}
+        existing = None
+        try:
+            existing = self._read_ref(name)
+        except KeyError:
+            pass
+        if existing is not None:
+            if existing.get("kind") != "branch" or not reset:
+                raise ConcurrentCommitError(f"ref already exists: {name}")
+            self._write_ref(name, payload, overwrite=True)
+        else:
+            self._write_ref(name, payload)
+        bt = MicroLakeTable(self.spark, self.path, dict(self.manifest))
+        bt._ref = name
+        return bt
+
+    def load_ref(self, name: str) -> "MicroLakeTable":
+        """Open a table handle at a ref. A tag handle reads that
+        version (writes through it would raise on the version CAS); a
+        branch handle continues committing to the branch."""
+        ref = self._read_ref(name)
+        version = int(ref["manifest"][len("manifest-"):-len(".json")])
+        t = MicroLakeTable.load(self.spark, self.path, version)
+        if ref.get("kind") == "branch":
+            t._ref = name
+        return t
+
+    def publish_branch(self, name: str,
+                       audit: dict[str, str] | None = None,
+                       audit_fn=None) -> int:
+        """Fast-forward ``_current`` to the branch head — the PUBLISH
+        step of write-audit-publish. Refuses (ConcurrentCommitError) if
+        main advanced past the branch base: the branch must be rebuilt
+        on the new head (with linear CAS'd versions main can only have
+        moved if the branch never committed, so no branch work is ever
+        silently lost). ``audit``: named SQL predicates every row of
+        the BRANCH snapshot must satisfy — checked in ONE aggregate
+        pass; any violation raises AuditFailedError with per-rule
+        counts and leaves main untouched (row-level ``expectations`` on
+        merge quarantine bad rows; this is the table-level gate for
+        invariants only visible post-merge). ``audit_fn``: optional
+        ``fn(branch_table, main_table)`` for cross-snapshot checks
+        (e.g. row-count shrink guards); raise to veto. Returns the
+        published version. The branch ref is removed on success."""
+        ref = self._read_ref(name)
+        if ref.get("kind") != "branch":
+            raise ValueError(f"not a branch: {name}")
+        if self._ref is not None:
+            raise ValueError("publish_branch must run on a main handle")
+        with open(os.path.join(self.path, "_current")) as f:
+            cur = f.read().strip()
+        if ref["base"] != cur:
+            raise ConcurrentCommitError(
+                f"branch {name} based on {ref['base']} but main is at "
+                f"{cur}; rebuild the branch from the current head"
+            )
+        head_v = int(ref["manifest"][len("manifest-"):-len(".json")])
+        bt = MicroLakeTable.load(self.spark, self.path, head_v)
+        if audit:
+            checks = [
+                F.sum(
+                    F.when(
+                        F.expr(pred).isNull() | ~F.expr(pred), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(rule)
+                for rule, pred in audit.items()
+            ]
+            row = bt.snapshot_df().agg(*checks).collect()[0]
+            violations = {
+                rule: int(row[rule]) for rule in audit
+                if row[rule] is not None and int(row[rule]) > 0
+            }
+            if violations:
+                raise AuditFailedError(
+                    f"audit rejected branch {name}: {violations}"
+                )
+        if audit_fn is not None:
+            audit_fn(bt, self)
+        self._publish_pointer(ref["manifest"])
+        os.remove(self._ref_file(name))
+        self.manifest = bt.manifest
+        return head_v
+
+    def drop_ref(self, name: str) -> None:
+        """Delete a tag or abandon a branch (unpublished manifests and
+        data files become orphans; ``vacuum`` reclaims them)."""
+        try:
+            os.remove(self._ref_file(name))
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name}") from None
 
     def _snapshot_buckets(self, buckets: set[int]) -> DataFrame:
         """This version's user-facing state restricted to a bucket

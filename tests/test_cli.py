@@ -311,3 +311,38 @@ def test_cli_cut_reports_consistent_cut(spark, tmp_dir, capsys):
     with pytest.raises(ValueError, match="rollup@"):
         main(["cut", "--table", f"fact={tmp_dir}/t",
               "--table", f"rollup={tmp_dir}/roll", "--epoch", "1"])
+
+
+def test_ref_cli_tag_branch_publish(spark, tmp_dir, capsys):
+    """`ref` subcommand end-to-end: tag at head, stage a branch via
+    engine API, audited publish through the CLI, list/drop."""
+    from tests.test_engine import _events
+    from tap_github_search_spark.schema import TRANSCRIPT_SCHEMA
+    from tap_github_search_spark.table.microlake import MicroLakeTable
+
+    path = f"{tmp_dir}/t"
+    t = MicroLakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
+    t.merge(_events(spark, [(1, "I", "c1", 0, 10)]), epoch=0)
+
+    assert main(["ref", "tag", "--table", path, "--name", "v0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kind"] == "tag"
+
+    assert main(["ref", "branch", "--table", path, "--name", "wap"]) == 0
+    capsys.readouterr()
+    br = MicroLakeTable.load(spark, path).load_ref("wap")
+    br.merge(_events(spark, [(2, "I", "c2", 0, 20)]),
+             epoch=br.last_committed_epoch + 1)
+
+    assert main(["ref", "publish", "--table", path, "--name", "wap",
+                 "--audit", "key_present=conv_id IS NOT NULL"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["published_version"] == br.manifest["version"]
+    live = {r["conv_id"] for r in
+            MicroLakeTable.load(spark, path).snapshot_df().collect()}
+    assert live == {"c1", "c2"}
+
+    assert main(["ref", "list", "--table", path]) == 0
+    refs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(refs) == {"v0"}
+    assert main(["ref", "drop", "--table", path, "--name", "v0"]) == 0

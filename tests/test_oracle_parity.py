@@ -136,6 +136,6 @@ def test_driver_prefix_samples_priority_ops():
         # new r5 (never driver-checked)
         "emb_ivf_ann_multiprobe", "emb_dedup_clusters",
         "cdc_join_view", "cdc_scd2_turn_history", "cdc_expectation_stats",
-        "cdc_topology_cut",
+        "cdc_topology_cut", "cdc_wap_replay",
     }
     assert must_sample <= set(names[:50])
