@@ -186,6 +186,12 @@ def _parser() -> argparse.ArgumentParser:
     ct.add_argument("--counts", action="store_true",
                     help="also report live row counts at the cut "
                          "(reads data; default is metadata-only)")
+    ct.add_argument("--tag", default=None, metavar="NAME",
+                    help="pin the cut durably: tag every member at its "
+                         "cut version (vacuum GC roots; all-or-nothing)")
+    ct.add_argument("--at-tag", default=None, metavar="NAME",
+                    help="read a previously pinned cut instead of "
+                         "resolving a fresh one")
 
     rf = sub.add_parser(
         "ref",
@@ -200,6 +206,11 @@ def _parser() -> argparse.ArgumentParser:
     rf.add_argument("--audit", action="append", default=None,
                     metavar="RULE=SQL",
                     help="publish-time audit predicate (repeatable)")
+    rf.add_argument("--min-rows-ratio", type=float, default=None,
+                    metavar="R",
+                    help="publish-time shrink guard: veto if the branch "
+                         "live row count < R x main's (cross-snapshot "
+                         "audit)")
 
     mt = sub.add_parser(
         "maintain",
@@ -476,15 +487,32 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit(f"--table wants NAME=PATH, got '{spec}'")
             members[name] = MicroLakeTable.load(spark, path)
         topo = TopologySnapshot(spark, members)
-        fences = topo.fences()
-        cut = topo.tables_at(args.epoch)
-        out = {
-            "fences": fences,
-            "cut_epoch": (args.epoch if args.epoch is not None
-                          else min(fences.values())),
-            "versions": {n: t.manifest["version"]
-                         for n, t in cut.items()},
-        }
+        if args.at_tag:
+            cut = topo.tables_at_tag(args.at_tag)
+            out = {
+                "tag": args.at_tag,
+                "versions": {n: t.manifest["version"]
+                             for n, t in cut.items()},
+            }
+        else:
+            fences = topo.fences()
+            if args.tag:
+                # pin first, report the pinned handles — the reported
+                # versions are exactly the tagged ones even if a writer
+                # commits between resolve and report
+                topo.tag(args.tag, args.epoch)
+                cut = topo.tables_at_tag(args.tag)
+            else:
+                cut = topo.tables_at(args.epoch)
+            out = {
+                "fences": fences,
+                "cut_epoch": (args.epoch if args.epoch is not None
+                              else min(fences.values())),
+                "versions": {n: t.manifest["version"]
+                             for n, t in cut.items()},
+            }
+            if args.tag:
+                out["tag"] = args.tag
         if args.counts:
             out["rows"] = {n: t.snapshot_df().count()
                            for n, t in cut.items()}
@@ -511,8 +539,13 @@ def main(argv: list[str] | None = None) -> int:
             out = dict(table._read_ref(args.name), name=args.name,
                        version=bt.manifest["version"])
         elif args.action == "publish":
+            from .table.microlake import shrink_guard
+
+            fn = (shrink_guard(args.min_rows_ratio)
+                  if args.min_rows_ratio is not None else None)
             v = table.publish_branch(args.name,
-                                     audit=_parse_audit(args.audit))
+                                     audit=_parse_audit(args.audit),
+                                     audit_fn=fn)
             out = {"name": args.name, "published_version": v}
         else:
             table.drop_ref(args.name)

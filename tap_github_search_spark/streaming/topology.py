@@ -148,3 +148,78 @@ class TopologySnapshot:
             name: t.snapshot_df()
             for name, t in self.tables_at(epoch).items()
         }
+
+    # ---------------- durable cuts (tags) ----------------
+
+    def tag(self, name: str, epoch: int | None = None) -> dict[str, int]:
+        """Pin a consistent cut DURABLY: ``create_tag(name)`` on every
+        table at its cut version, making the whole cut a vacuum GC
+        root — the multi-table snapshot stays readable forever (until
+        ``drop_tag``) regardless of ``keep_versions``, which is what a
+        reproducible training-corpus release needs: "the exact
+        fact+rollup+index state training run X consumed", re-readable
+        months later while the stream kept committing and maintenance
+        kept expiring untagged history.
+
+        All-or-nothing: if any table already carries the ref name (or
+        any tag write fails), tags created so far are rolled back and
+        the error re-raised — a half-tagged topology is never left
+        behind. Returns ``{table_name: pinned_version}``."""
+        cut = self.tables_at(epoch)
+        done = []
+        try:
+            for t in cut.values():
+                t.create_tag(name)
+                done.append(t)
+        except BaseException:
+            for t in done:
+                try:
+                    t.drop_ref(name)
+                except KeyError:
+                    pass
+            raise
+        return {n: t.manifest["version"] for n, t in cut.items()}
+
+    def tables_at_tag(self, name: str) -> dict[str, MicroLakeTable]:
+        """Re-open a pinned cut by name: frozen table handles at the
+        tagged versions. Refuses (KeyError, naming the tables) if the
+        tag is missing anywhere or is not a tag on some table — a
+        partial pin from a torn external writer never masquerades as a
+        consistent cut."""
+        out: dict[str, MicroLakeTable] = {}
+        bad: list[str] = []
+        for tname, path in self._paths.items():
+            head = MicroLakeTable.load(self.spark, path)
+            try:
+                if head._read_ref(name).get("kind") != "tag":
+                    bad.append(f"{tname} (not a tag)")
+                    continue
+                out[tname] = head.load_ref(name)
+            except KeyError:
+                bad.append(tname)
+        if bad:
+            raise KeyError(
+                f"tag '{name}' is not a consistent cut; missing or "
+                f"wrong-kind on: " + ", ".join(sorted(bad))
+            )
+        return out
+
+    def at_tag(self, name: str) -> dict[str, DataFrame]:
+        """The pinned cut as user-facing DataFrames."""
+        return {
+            n: t.snapshot_df() for n, t in self.tables_at_tag(name).items()
+        }
+
+    def drop_tag(self, name: str) -> None:
+        """Release a pinned cut on every table that carries it (the
+        versions become ordinary vacuum candidates). KeyError if no
+        table carried the tag."""
+        hit = False
+        for path in self._paths.values():
+            try:
+                MicroLakeTable.load(self.spark, path).drop_ref(name)
+                hit = True
+            except KeyError:
+                pass
+        if not hit:
+            raise KeyError(f"no such tag on any table: {name}")

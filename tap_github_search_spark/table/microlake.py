@@ -2212,6 +2212,34 @@ class MicroLakeTable:
             self.spark.createDataFrame([], METRICS_SCHEMA)
 
 
+def shrink_guard(min_ratio: float = 0.9):
+    """``audit_fn`` factory for ``publish_branch``: veto a publish whose
+    live row count fell below ``min_ratio`` × main's current count — the
+    classic WAP regression gate against a broken upstream mass-deleting
+    (or an empty reload overwriting) a corpus. Cross-snapshot by nature,
+    so it cannot be a row predicate; cost is one ``count()`` per side
+    (footer-metadata-only on compacted CoW state; one dedup pass over
+    only the MOR generations otherwise). Compose freely::
+
+        table.publish_branch("wap", audit={...},
+                             audit_fn=shrink_guard(0.99))
+    """
+    if not 0.0 <= min_ratio:
+        raise ValueError(f"min_ratio must be >= 0: {min_ratio}")
+
+    def _audit(branch_t: MicroLakeTable, main_t: MicroLakeTable) -> None:
+        b = branch_t.snapshot_df().count()
+        m = main_t.snapshot_df().count()
+        if b < min_ratio * m:
+            raise AuditFailedError(
+                f"shrink guard: branch has {b} live rows vs main's {m} "
+                f"(< {min_ratio:g}× — a publish may not shrink the "
+                f"table below the guard ratio)"
+            )
+
+    return _audit
+
+
 def _utcnow_iso() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 

@@ -346,3 +346,66 @@ def test_ref_cli_tag_branch_publish(spark, tmp_dir, capsys):
     refs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(refs) == {"v0"}
     assert main(["ref", "drop", "--table", path, "--name", "v0"]) == 0
+
+
+def test_cli_cut_tag_pins_and_rereads(spark, tmp_dir, capsys):
+    """`cut --tag` pins the cut durably on every member; after vacuum
+    expires untagged history, `cut --at-tag` still reads it."""
+    from tap_github_search_spark.streaming.derived import RollupMaintainer
+    from tap_github_search_spark.streaming.job import replay
+    from tests.test_engine import _events
+
+    rows = [(i, "I", f"c{i % 4}", i // 4, 10 + i) for i in range(8)]
+    _events(spark, rows).write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, results = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                            n_buckets=2)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/roll")
+    maint.apply_epoch(results[0].epoch)
+
+    rc = main(["cut", "--table", f"fact={tmp_dir}/t",
+               "--table", f"rollup={tmp_dir}/roll", "--tag", "rel-1"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tag"] == "rel-1"
+    pinned = rep["versions"]
+
+    # churn + expire everything untagged
+    table.merge(_events(spark, [(100, "D", "c0", 0, 100)]), epoch=1)
+    maint.apply_epoch(1)
+    table.vacuum(keep_versions=1, grace_seconds=0)
+    maint.child.vacuum(keep_versions=1, grace_seconds=0)
+
+    rc = main(["cut", "--table", f"fact={tmp_dir}/t",
+               "--table", f"rollup={tmp_dir}/roll",
+               "--at-tag", "rel-1", "--counts"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["versions"] == pinned
+    assert rep["rows"] == {"fact": 8, "rollup": 4}  # pre-delete state
+
+
+def test_cli_ref_publish_min_rows_ratio(spark, tmp_dir, capsys):
+    """`ref publish --min-rows-ratio` wires the shrink guard: a
+    mass-deleting branch is vetoed, main unchanged."""
+    from tests.test_engine import _events
+    from tap_github_search_spark.schema import TRANSCRIPT_SCHEMA
+    from tap_github_search_spark.table.microlake import (
+        AuditFailedError,
+        MicroLakeTable,
+    )
+
+    path = f"{tmp_dir}/t"
+    t = MicroLakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
+    t.merge(_events(spark, [(1, "I", "c1", 0, 10),
+                            (2, "I", "c2", 0, 11)]), epoch=0)
+    br = t.branch_begin("wap")
+    br.merge(_events(spark, [(5, "D", "c2", 0, 50)]),
+             epoch=br.last_committed_epoch + 1)
+
+    with pytest.raises(AuditFailedError, match="shrink guard"):
+        main(["ref", "publish", "--table", path, "--name", "wap",
+              "--min-rows-ratio", "0.9"])
+    capsys.readouterr()
+    live = {r["conv_id"] for r in
+            MicroLakeTable.load(spark, path).snapshot_df().collect()}
+    assert live == {"c1", "c2"}

@@ -268,3 +268,41 @@ def test_wap_stream_audit_failure_blocks_publish(spark, tmp_dir):
     # the rejected branch is still there for inspection
     refs = t.list_refs()
     assert any(r.get("kind") == "branch" for r in refs.values())
+
+
+def test_shrink_guard_vetoes_mass_delete(spark, tmp_dir):
+    """The built-in shrink_guard audit_fn: a branch whose live row
+    count fell below the guard ratio is vetoed at publish (main
+    untouched); a publish that only grows the table passes."""
+    from tap_github_search_spark.table.microlake import shrink_guard
+
+    t = _mk(spark, tmp_dir)  # c1, c2 live on main
+    v_main = t.manifest["version"]
+
+    br = t.branch_begin("wap")
+    # a broken upstream mass-deletes: branch drops to 1 of 2 rows
+    br.merge(_events(spark, [(5, "D", "c2", 0, 50)]),
+             epoch=br.last_committed_epoch + 1)
+    with pytest.raises(AuditFailedError, match="shrink guard"):
+        t.publish_branch("wap", audit_fn=shrink_guard(0.9))
+    assert t.manifest["version"] == v_main
+    assert _convs(MicroLakeTable.load(spark, t.path).snapshot_df()) == {
+        "c1", "c2"
+    }
+
+    # an explicitly tolerant ratio lets the same branch through
+    v = t.publish_branch("wap", audit_fn=shrink_guard(0.5))
+    assert v > v_main
+    assert _convs(MicroLakeTable.load(spark, t.path).snapshot_df()) == {
+        "c1"
+    }
+
+    # growth always passes the default guard
+    br = t.branch_begin("wap2")
+    br.merge(_events(spark, [(6, "I", "c3", 0, 60)]),
+             epoch=br.last_committed_epoch + 1)
+    t2 = MicroLakeTable.load(spark, t.path)
+    t2.publish_branch("wap2", audit_fn=shrink_guard())
+    assert _convs(MicroLakeTable.load(spark, t.path).snapshot_df()) == {
+        "c1", "c3"
+    }

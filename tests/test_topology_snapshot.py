@@ -111,6 +111,84 @@ def test_expired_cut_raises(spark, tmp_dir):
         topo.at_epoch(first)
 
 
+def test_tagged_cut_survives_vacuum(spark, tmp_dir):
+    """A cut pinned with tag() is a vacuum GC root on EVERY member:
+    after history expiry the pinned multi-table snapshot still reads
+    skew-free (and equals its recompute), while the same untagged
+    epoch is gone; drop_tag releases it back to vacuum."""
+    e0 = _events(spark, [(1, "I", "c1", 0, 10), (2, "I", "c2", 0, 11)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, results = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                            n_buckets=4)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/roll")
+    maint.apply_epoch(results[0].epoch)
+    topo = TopologySnapshot(spark, {"fact": table,
+                                    "rollup": maint.child})
+    pinned = topo.tag("corpus-v1")
+    assert set(pinned) == {"fact", "rollup"}
+
+    # duplicate pin refuses (the tag is immutable)
+    from tap_github_search_spark.table.microlake import (
+        ConcurrentCommitError,
+    )
+    with pytest.raises(ConcurrentCommitError):
+        topo.tag("corpus-v1")
+
+    # the topology moves on and history is expired everywhere
+    for e in (1, 2):
+        table.merge(_events(spark, [(10 * e, "U", "c1", 0, 20 + e,
+                                     f"v{e}")]), epoch=e)
+        maint.apply_epoch(e)
+    table.merge(_events(spark, [(99, "D", "c2", 0, 50)]), epoch=3)
+    maint.apply_epoch(3)
+    table.vacuum(keep_versions=1, grace_seconds=0)
+    maint.child.vacuum(keep_versions=1, grace_seconds=0)
+
+    # the untagged epoch-0 cut is unreadable…
+    with pytest.raises(SnapshotExpiredError):
+        topo.at_epoch(0)
+    # …but the pinned cut still reads, skew-free, pre-churn state
+    snaps = topo.at_tag("corpus-v1")
+    got = _rollup_pdf(snaps["rollup"])
+    pd.testing.assert_frame_equal(
+        got, _canon(conv_rollup(snaps["fact"]).toPandas()),
+        check_dtype=False)
+    assert set(got["conv_id"]) == {"c1", "c2"}  # c2 not yet deleted
+
+    topo.drop_tag("corpus-v1")
+    with pytest.raises(KeyError, match="corpus-v1"):
+        topo.tables_at_tag("corpus-v1")
+    # versions released: the next vacuum may expire them
+    table.vacuum(keep_versions=1, grace_seconds=0)
+    with pytest.raises(SnapshotExpiredError):
+        topo.at_epoch(0)
+
+
+def test_tag_is_all_or_nothing(spark, tmp_dir):
+    """If any member already carries the ref name, tag() rolls back the
+    tags it created — a half-pinned topology never exists."""
+    e0 = _events(spark, [(1, "I", "c1", 0, 10)])
+    e0.write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, results = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                            n_buckets=4)
+    maint = RollupMaintainer(spark, table, f"{tmp_dir}/roll")
+    maint.apply_epoch(results[0].epoch)
+    # collide on the SECOND member (dict order: fact first)
+    maint.child.create_tag("pin")
+    topo = TopologySnapshot(spark, {"fact": table,
+                                    "rollup": maint.child})
+    from tap_github_search_spark.table.microlake import (
+        ConcurrentCommitError,
+    )
+    with pytest.raises(ConcurrentCommitError):
+        topo.tag("pin")
+    assert "pin" not in table.list_refs()          # rolled back
+    assert "pin" in maint.child.list_refs()        # pre-existing kept
+    # a partial pin never reads as a cut
+    with pytest.raises(KeyError, match="fact"):
+        topo.tables_at_tag("pin")
+
+
 def test_maintenance_commits_resolve_to_compacted_state(spark, tmp_dir):
     """Between two epochs a compact() rewrites files without advancing
     the fence — the cut at that epoch must resolve to the newest
