@@ -8,6 +8,14 @@ change-feed replica synced mid-chaos. Every seam is tested pairwise
 elsewhere; this test exercises them COMPOSED (VERDICT r3 #9): after the
 chaos ends, all five tables must equal their independent full
 recomputes and the main table must match the DuckDB WAL oracle.
+
+r5: every epoch is additionally WRITE-AUDIT-PUBLISH gated (staged on a
+per-epoch branch, table-level audit, fast-forward publish) — so the
+chaos also crashes between branch commit and publish, and the racing
+maintenance loop's commits divert publishes into loud diverged-base
+conflicts the restart must rebuild from; and a consistent cross-table
+cut is TAGGED mid-chaos, which must still read as a skew-free snapshot
+after everything converged (and leave no per-epoch branch residue).
 """
 
 from __future__ import annotations
@@ -130,7 +138,15 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     maint_thread.start()
 
     # ---- the soak: restart until the chaos lets a pass finish --------
+    # every epoch WAP-gated: staged on a branch, audited, fast-forward
+    # published — under the same crash injection (merge chaos fires on
+    # the BRANCH commit, so crashes land between stage and publish) and
+    # with the maintenance loop's commits diverting publishes into
+    # diverged-base conflicts the restart rebuilds from
+    wap_rules = {"key_present": "conv_id IS NOT NULL",
+                 "turn_nonneg": "turn_idx >= 0"}
     replicator = None
+    pinned = False
     try:
         completed = 0
         for attempt in range(30):
@@ -141,7 +157,8 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
                        f"{tmp_dir}/t", f"{tmp_dir}/ckpt", n_buckets=8,
                        max_files_per_trigger=1, merge_mode="mor",
                        compact_every=3, optimize_every=2,
-                       optimize_opts={"keep_versions": 200}, **paths)
+                       optimize_opts={"keep_versions": 200},
+                       wap_audit=wap_rules, **paths)
                 completed += 1
             except Exception:
                 continue
@@ -151,6 +168,21 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
                     spark, f"{tmp_dir}/t", f"{tmp_dir}/replica")
                 try:
                     replicator.sync()
+                except Exception:
+                    pass
+            if not pinned:
+                # mid-chaos: pin a durable cross-table cut while the
+                # maintenance loop and future epochs keep churning
+                from tap_github_search_spark.streaming.topology import (
+                    TopologySnapshot,
+                )
+                try:
+                    TopologySnapshot(spark, {
+                        "fact": MicroLakeTable.load(spark, f"{tmp_dir}/t"),
+                        "rollup": MicroLakeTable.load(
+                            spark, f"{tmp_dir}/roll"),
+                    }).tag("soak-pin")
+                    pinned = True
                 except Exception:
                     pass
             if completed >= 2:  # one clean drain after a clean drain
@@ -164,9 +196,10 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
     monkeypatch.setattr(DerivedChain, "_apply_level", real_level)
 
     # final clean pass: drain anything left + catch every level up
+    # (still WAP-gated — the quiet path must publish cleanly too)
     table = stream(spark, [f"{tmp_dir}/log", f"{tmp_dir}/log_evolved"],
                    f"{tmp_dir}/t", f"{tmp_dir}/ckpt", merge_mode="mor",
-                   compact_every=3, **paths)
+                   compact_every=3, wap_audit=wap_rules, **paths)
     replicator.sync()
     # drain the progressive spec migration the maintenance loop started
     # mid-stream; the table must end fully on the doubled spec with
@@ -361,6 +394,23 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
         & (F.col("a.effective_from") < F.col("b.effective_from")),
     ).count()
     assert bad == 0  # no overlapping validity intervals per key
+
+    # ---- 9) WAP left no residue; the mid-chaos pinned cut is a
+    # skew-free snapshot (rollup in the cut == recompute from the fact
+    # in the SAME cut) even though both tables churned on for many
+    # epochs + maintenance commits after the pin --------------------------
+    assert not any(k.startswith("wap-epoch-")
+                   for k in table.list_refs()), "leaked WAP branch refs"
+    assert pinned, "the mid-chaos cut pin never succeeded"
+    from tap_github_search_spark.streaming.topology import TopologySnapshot
+
+    snaps = TopologySnapshot(spark, {
+        "fact": MicroLakeTable.load(spark, f"{tmp_dir}/t"),
+        "rollup": MicroLakeTable.load(spark, f"{tmp_dir}/roll"),
+    }).at_tag("soak-pin")
+    pd.testing.assert_frame_equal(
+        canon(snaps["rollup"].drop("ts"), "conv_id"),
+        canon(conv_rollup(snaps["fact"]), "conv_id"), check_dtype=False)
 
     # the maintenance loop really ran against live commits
     assert races["runs"] >= 1
