@@ -146,3 +146,24 @@ def final_state(
     """Replay semantics in one shot: winners minus keys whose winner is a
     delete. This is the batch-replay oracle shape (no table involved)."""
     return lww_winners(df, keys, order).filter(F.col("op") != "D")
+
+
+def final_state_cols(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    keys: tuple[str, ...] = MERGE_KEYS,
+    order: tuple[str, ...] = LWW_ORDER,
+) -> DataFrame:
+    """``final_state`` with the aggregate's payload pruned to ``cols``
+    (r06, guide §2.3 "project before the exchange"): Catalyst cannot
+    push a downstream projection INSIDE ``max(struct(...))``, so a
+    caller that selects a few columns after ``final_state`` still pays
+    for shuffling and max-comparing every payload column (``text`` is
+    by far the widest). The winner per key is decided by ``(order)``
+    alone, so pruning the payload BEFORE the aggregate yields
+    bit-identical winners — just with fewer columns in the buffer.
+    Equivalent to ``final_state(df).select(keys + order + op + cols)``.
+    """
+    need = [*keys, *order, "op"]
+    need += [c for c in cols if c not in need]
+    return final_state(df.select(*need), keys, order)

@@ -24,6 +24,7 @@ from ..functions.normalize import normalized
 from ..functions.textops import tokens
 from ..operators.dedup import (
     final_state,
+    final_state_cols,
     lww_winners,
     lww_winners_ord,
     lww_winners_salted,
@@ -94,7 +95,9 @@ def q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = final_state(
         spark.read.parquet(dim_dir(sf)), keys=("tool",)
     ).select("tool", "category", "cost_tier")
-    fact = final_state(_log(spark, sf_dir)).select(
+    fact = final_state_cols(
+        _log(spark, sf_dir), ("role", "tool")
+    ).select(
         "conv_id", "turn_idx", "role", "tool",
         F.col("ts").alias("turn_ts"),
     )
@@ -220,7 +223,9 @@ def q_conv_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per conversation with turns concatenated in turn_idx order —
     sort_array(collect_list(struct)) keeps the aggregation hash-based
     instead of a window."""
-    fs = final_state(_log(spark, sf_dir)).select(
+    fs = final_state_cols(
+        _log(spark, sf_dir), ("role", "text")
+    ).select(
         "conv_id", "turn_idx", "role", normalized("text").alias("text")
     )
     turns = F.array_sort(
@@ -597,7 +602,10 @@ def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winner-op distribution: how many keys end as insert/update/delete
     (I9 state finalization analog, aggregated)."""
     return (
-        lww_winners(_log(spark, sf_dir))
+        lww_winners(
+            _log(spark, sf_dir)
+            .select("conv_id", "turn_idx", "ts", "seq", "op")
+        )
         .groupBy("op")
         .agg(F.count("*").alias("n_keys"))
     )
@@ -612,7 +620,7 @@ SELECT op, count(*) AS n_keys FROM winners GROUP BY op
 def q_cdc_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup of the final state: live turn count, last
     event time, distinct roles (transcript re-assembly check)."""
-    fs = final_state(_log(spark, sf_dir))
+    fs = final_state_cols(_log(spark, sf_dir), ("role",))
     return fs.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
         F.max("ts").alias("last_ts"),
@@ -1234,19 +1242,27 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: 10 query vectors vs the
     full corpus; dot products via zip_with/aggregate (JVM-side, no UDF).
     The query side is broadcast — the scale path for k-NN lookups."""
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+    # norms are hoisted to one per ROW on each side (r06, guide §1.2
+    # "don't compute things you throw away"): the original form
+    # re-evaluated norm(q) and norm(embedding) inside every (query ×
+    # vector) pair — 2 extra 64-dim folds per pair. Each norm is the
+    # same left-fold over the same array, and the final expression
+    # multiplies them in the same operand order, so every sim value is
+    # bit-identical to the unhoisted form.
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    ).withColumn("_n", norm(F.col("embedding")))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
+        F.col("_n").alias("_qn"),
     )
     dot = F.aggregate(
         F.zip_with("q", "embedding", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
-    sim = dot / (norm(F.col("q")) * norm(F.col("embedding")))
+    sim = dot / (F.col("_qn") * F.col("_n"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         emb.crossJoin(F.broadcast(queries))
@@ -1660,7 +1676,9 @@ def q_conv_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-deterministic regardless of shuffle arrival order. Scales as
     a key-partitioned window — per-conversation state only, no
     collect, no cross-conversation data movement."""
-    fs = final_state(_log(spark, sf_dir)).select(
+    fs = final_state_cols(
+        _log(spark, sf_dir), ("role", "text")
+    ).select(
         "conv_id", "turn_idx", "role", normalized("text").alias("text")
     )
     w = (
@@ -1774,7 +1792,9 @@ def q_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sane band). One map-side-combinable aggregate over the CDC
     winners; composes with conv_training_examples (gate first, then
     assemble pairs)."""
-    fs = final_state(_log(spark, sf_dir)).select(
+    fs = final_state_cols(
+        _log(spark, sf_dir), ("role", "text")
+    ).select(
         "conv_id", "role", normalized("text").alias("text")
     )
     agg = fs.groupBy("conv_id").agg(
@@ -1838,7 +1858,9 @@ def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CDC winners + a 1-row total broadcast for the share. Reference
     analog: per-stream record counts the tap logs per sync
     (/root/reference/tap_github/client.py:83-101 bookmark accounting)."""
-    fs = final_state(_log(spark, sf_dir)).filter(
+    fs = final_state_cols(
+        _log(spark, sf_dir), ("tool", "text")
+    ).filter(
         F.col("tool").isNotNull()
     ).select("conv_id", "tool", normalized("text").alias("text"))
     agg = fs.groupBy("tool").agg(
@@ -1890,7 +1912,7 @@ def q_conv_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to per-conversation token totals, then a tiny
     budget-exploded conditional aggregate (|budgets| rows); everything
     map-side combinable, no window over the corpus."""
-    fs = final_state(_log(spark, sf_dir)).select(
+    fs = final_state_cols(_log(spark, sf_dir), ("text",)).select(
         "conv_id", normalized("text").alias("text")
     )
     per_conv = fs.groupBy("conv_id").agg(
@@ -1964,7 +1986,9 @@ def q_conv_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..streaming.derived import LSH_MEMBERS_CAP
 
-    fs = final_state(_log(spark, sf_dir)).select(
+    fs = final_state_cols(
+        _log(spark, sf_dir), ("role", "text")
+    ).select(
         "conv_id", "turn_idx", "role", normalized("text").alias("text")
     )
     turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role",

@@ -39,7 +39,7 @@ from ..functions.textops import (
     tokens,
     word_shingles,
 )
-from ..operators.dedup import final_state
+from ..operators.dedup import final_state, final_state_cols
 from .common import (  # noqa: F401
     _WINNERS_CTE,
     _log,
@@ -1041,7 +1041,9 @@ def q_conv_transcript_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach for when per-group logic outgrows SQL expressions."""
     import pandas as pd
 
-    fs = final_state(_log(spark, sf_dir)).select(
+    fs = final_state_cols(
+        _log(spark, sf_dir), ("role", "text")
+    ).select(
         "conv_id", "turn_idx", "role", normalized("text").alias("text")
     )
 
@@ -1063,7 +1065,7 @@ def q_conv_transcript_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conv_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() window over the replayed final state: turn-index gaps left
     by deletes inside each conversation (transcript-integrity audit)."""
-    fs = final_state(_log(spark, sf_dir))
+    fs = final_state_cols(_log(spark, sf_dir), ())
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
         fs.withColumn("prev_turn", F.lag("turn_idx").over(w))
