@@ -284,6 +284,107 @@ def staged_root_keys(spark: SparkSession, main: MicroLakeTable,
     )
 
 
+def maybe_broadcast(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Broadcast a key frame only when it is provably small (VERDICT
+    r3 minor #5 / r5 #2+#4): an unconditional broadcast OOMs the
+    driver / trips the 8 GB broadcast cap when a bulk epoch or a
+    dim-wide rewrite dirties a huge key set. The size probe is a
+    ``limit(k+1).count()`` — bounded by the threshold, not the frame;
+    pass ``n`` when the caller already counted (persisted frames).
+    Above the threshold the join falls back to a plain shuffle join,
+    which is exactly right for a big key set."""
+    limit = int(os.environ.get("SPARK_GRAFT_BROADCAST_KEYS", "1000000"))
+    if limit <= 0:
+        return df
+    if n is None:
+        n = df.limit(limit + 1).count()
+    return F.broadcast(df) if n <= limit else df
+
+
+def bucket_ids_of(keys_df: DataFrame, key: str,
+                  n_buckets: int) -> list[int] | None:
+    """Distinct bucket ids of ``keys_df[key]`` under an ``n_buckets``
+    spec — one tiny aggregate job returning ≤ n_buckets rows (run it
+    on a persisted frame). The ids feed ``snapshot_df(buckets=...)``
+    so maintainer probe reads touch O(affected) files instead of
+    O(table) (VERDICT r5 #1). Returns None (= no pruning) when every
+    bucket is affected or pruning is disabled
+    (``SPARK_GRAFT_BUCKET_PRUNE=0``)."""
+    if os.environ.get("SPARK_GRAFT_BUCKET_PRUNE", "1") == "0":
+        return None
+    rows = keys_df.select(
+        F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("_b")
+    ).distinct().collect()
+    ids = sorted({int(r["_b"]) for r in rows if r["_b"] is not None})
+    return None if len(ids) >= n_buckets else ids
+
+
+class EpochContext:
+    """Per-epoch frames shared across every maintainer of one main
+    table (r06, VERDICT r5 #2): the staged root-key frame, its bucket
+    ids, and the main table's live rows for those keys are computed
+    and PERSISTED once per epoch instead of once per maintainer
+    family. Before this, each of the three level-1 transforms
+    (conv_rollup, conv_tokens, conv_signature) independently re-ran
+    ``main.snapshot_df()`` — a full MOR-resolved parent scan — per
+    epoch, and each level's un-persisted affected frame was
+    re-evaluated by the broadcast probe, the level join, the ``gone``
+    anti-join and the merge. ``release()`` unpersists everything."""
+
+    def __init__(self, spark: SparkSession, main: MicroLakeTable,
+                 epoch: int, behind: list[str]):
+        self.spark, self.main, self.epoch = spark, main, epoch
+        self._behind = behind
+        self._root: DataFrame | None = None
+        self._n_root: int | None = None
+        self._buckets: list[int] | None = None
+        self._buckets_set = False
+        self._dirty: DataFrame | None = None
+
+    @property
+    def root_keys(self) -> DataFrame:
+        if self._root is None:
+            self._root = staged_root_keys(
+                self.spark, self.main, self.epoch, self._behind
+            ).persist()
+            self._n_root = self._root.count()
+        return self._root
+
+    @property
+    def n_root_keys(self) -> int:
+        _ = self.root_keys
+        return self._n_root
+
+    @property
+    def root_buckets(self) -> list[int] | None:
+        if not self._buckets_set:
+            self._buckets = bucket_ids_of(
+                self.root_keys, self.main.keys[0], self.main.n_buckets
+            )
+            self._buckets_set = True
+        return self._buckets
+
+    @property
+    def dirty_live(self) -> DataFrame:
+        """Main-table live rows of the epoch's root keys, persisted —
+        the shared input of every level-1 transform."""
+        if self._dirty is None:
+            key = self.main.keys[0]
+            self._dirty = (
+                self.main.snapshot_df(buckets=self.root_buckets)
+                .join(maybe_broadcast(self.root_keys, self.n_root_keys),
+                      key)
+            ).persist()
+            self._dirty.count()  # materialize once, serve all families
+        return self._dirty
+
+    def release(self) -> None:
+        for df in (self._dirty, self._root):
+            if df is not None:
+                df.unpersist()
+        self._root = self._dirty = None
+
+
 class DerivedChain:
     """Maintains a declared list of derived levels in lockstep with the
     main table, one epoch at a time, each level independently fenced."""
@@ -338,23 +439,6 @@ class DerivedChain:
             v -= 1
         return None
 
-    def _maybe_broadcast(self, affected: DataFrame) -> DataFrame:
-        """Broadcast an affected-key frame only when it is provably
-        small (VERDICT r3 minor #5): an unconditional broadcast OOMs
-        the driver / trips the 8 GB broadcast cap when a bulk epoch
-        dirties a huge key set (the text-index level after a backfill
-        can dirty most of the vocabulary). The size probe is a
-        ``limit(k+1).count()`` — it stops scanning as soon as k+1 rows
-        exist, so the cost is bounded by the threshold, not the frame.
-        Above the threshold the join falls back to a plain shuffle
-        join, which is exactly right for a big affected set."""
-        limit = int(os.environ.get("SPARK_GRAFT_BROADCAST_KEYS",
-                                   "1000000"))
-        if limit <= 0:
-            return affected
-        n = affected.limit(limit + 1).count()
-        return F.broadcast(affected) if n <= limit else affected
-
     @staticmethod
     def _attach_key(df: DataFrame, spec: LevelSpec) -> DataFrame:
         """Attach a level's key to parent rows via its ``key_expr``. The
@@ -371,63 +455,116 @@ class DerivedChain:
 
     def _affected_keys(self, parent: MicroLakeTable, parent_key: str,
                        spec: LevelSpec, affected_parent: DataFrame,
-                       epoch: int) -> DataFrame:
+                       n_parent: int | None, epoch: int) -> DataFrame:
         """This level's keys the epoch may change: the affected parent
         rows' keys in the parent's CURRENT snapshot plus their keys in
         the parent's last pre-epoch snapshot (time travel) — a parent
         row whose derived key moved dirties both its old and new
-        group."""
-        aff = self._maybe_broadcast(affected_parent)
+        group. Both probe joins are on ``parent_key`` — the parent's
+        own bucketing key — so the parent reads are bucket-pruned to
+        the affected keys' buckets (r06, VERDICT r5 #1: these were
+        full-table scans per level per epoch)."""
+        aff = maybe_broadcast(affected_parent, n_parent)
+        pb = bucket_ids_of(affected_parent, parent_key, parent.n_buckets)
         cur = self._attach_key(
-            parent.snapshot_df().join(aff, parent_key), spec
+            parent.snapshot_df(buckets=pb).join(aff, parent_key), spec
         ).select(spec.key)
         prev = self._pre_epoch_version(parent, epoch)
         if prev is not None:
+            # the pre-epoch snapshot shares the spec unless a rebucket
+            # landed in between — then its bucket ids don't align and
+            # the prune must be skipped for that side
+            prev_pb = pb if prev.n_buckets == parent.n_buckets else None
             old = self._attach_key(
-                prev.snapshot_df().join(aff, parent_key), spec
+                prev.snapshot_df(buckets=prev_pb).join(aff, parent_key),
+                spec
             ).select(spec.key)
             cur = cur.unionByName(old)
         return cur.distinct()
 
     # ---------------- per-epoch maintenance ----------------
 
-    def apply_epoch(self, epoch: int) -> MergeResult:
+    def apply_epoch(self, epoch: int,
+                    ctx: EpochContext | None = None) -> MergeResult:
         """Walk the chain top-down: recompute each level's affected keys
         from its (already-caught-up) parent and MERGE. Returns the
         level-1 result. On replay after a crash, levels already at
         ``epoch`` no-op (their merge fence) while their affected keys
-        are still computed, so deeper levels can catch up."""
-        affected = self.affected_root_keys(epoch)
-        first: MergeResult | None = None
-        parent: MicroLakeTable = self.main
-        parent_key = self.main.keys[0]
-        for i, (spec, table) in enumerate(zip(self.specs, self.tables)):
-            if spec.key_expr is not None:
-                affected = self._affected_keys(
-                    parent, parent_key, spec, affected, epoch
-                )
-            res = self._apply_level(i, epoch, affected)
-            if first is None:
-                first = res
-            parent, parent_key = table, spec.key
-        return first
+        are still computed, so deeper levels can catch up.
 
-    def _apply_level(self, i: int, epoch: int,
-                     affected: DataFrame) -> MergeResult:
+        Every level's affected-key frame is persisted for the epoch's
+        duration (r06): the same frame feeds the broadcast-size probe,
+        the level join, the ``gone`` anti-join, the next level's key
+        propagation and the merge — un-persisted, each consumer
+        re-evaluated the whole upstream probe scan. ``ctx`` supplies
+        the cross-maintainer shared frames (root keys + level-1 dirty
+        rows) when several maintainers ride the same epoch."""
+        pinned: list[DataFrame] = []
+        try:
+            if ctx is not None:
+                affected = ctx.root_keys
+                n_aff = ctx.n_root_keys
+                root_buckets = ctx.root_buckets
+            else:
+                affected = self.affected_root_keys(epoch).persist()
+                pinned.append(affected)
+                n_aff = affected.count()
+                root_buckets = bucket_ids_of(
+                    affected, self.main.keys[0], self.main.n_buckets
+                )
+            dirty_live = ctx.dirty_live if ctx is not None else None
+            first: MergeResult | None = None
+            parent: MicroLakeTable = self.main
+            parent_key = self.main.keys[0]
+            for i, (spec, table) in enumerate(
+                    zip(self.specs, self.tables)):
+                if spec.key_expr is not None:
+                    affected = self._affected_keys(
+                        parent, parent_key, spec, affected, n_aff, epoch
+                    ).persist()
+                    pinned.append(affected)
+                    n_aff = affected.count()
+                    dirty_live = None
+                res = self._apply_level(
+                    i, epoch, affected, n_aff,
+                    buckets=root_buckets if i == 0 else None,
+                    pre_joined=dirty_live if i == 0 else None,
+                )
+                dirty_live = None
+                if first is None:
+                    first = res
+                parent, parent_key = table, spec.key
+            return first
+        finally:
+            for df in pinned:
+                df.unpersist()
+
+    def _apply_level(self, i: int, epoch: int, affected: DataFrame,
+                     n_aff: int | None = None,
+                     buckets: list[int] | None = None,
+                     pre_joined: DataFrame | None = None) -> MergeResult:
         """Recompute one level's affected keys from the parent's live
         state and MERGE them (level epoch == parent epoch, same fence
-        semantics)."""
+        semantics). ``buckets`` prunes the parent read when the level
+        joins on the parent's bucketing key (level 1); ``pre_joined``
+        short-circuits the probe with the epoch's shared dirty-rows
+        frame (EpochContext)."""
         spec, table = self.specs[i], self.tables[i]
         if epoch <= table.last_committed_epoch:
             return MergeResult(epoch=epoch, skipped=True)
         parent = self.main if i == 0 else self.tables[i - 1]
-        live = parent.snapshot_df()
-        if spec.key_expr is not None:
-            live = self._attach_key(live, spec)
-        # Only affected keys are read back; a small affected set is
-        # broadcast so the probe stays local, a bulk-epoch set falls
-        # back to a shuffle join (_maybe_broadcast guard).
-        live = live.join(self._maybe_broadcast(affected), spec.key)
+        if pre_joined is not None and spec.key_expr is None:
+            live = pre_joined
+        else:
+            live = parent.snapshot_df(
+                buckets=buckets if spec.key_expr is None else None
+            )
+            if spec.key_expr is not None:
+                live = self._attach_key(live, spec)
+            # Only affected keys are read back; a small affected set is
+            # broadcast so the probe stays local, a bulk-epoch set falls
+            # back to a shuffle join (maybe_broadcast guard).
+            live = live.join(maybe_broadcast(affected, n_aff), spec.key)
         rollups = spec.transform(live)
         # keys that lost every live member → delete the derived row
         gone = affected.join(rollups.select(spec.key), spec.key, "left_anti")
@@ -624,8 +761,9 @@ class TextIndexMaintainer:
     def tables(self) -> list[MicroLakeTable]:
         return self.chain.tables
 
-    def apply_epoch(self, epoch: int) -> MergeResult:
-        return self.chain.apply_epoch(epoch)
+    def apply_epoch(self, epoch: int,
+                    ctx: "EpochContext | None" = None) -> MergeResult:
+        return self.chain.apply_epoch(epoch, ctx=ctx)
 
     def search(self, token: str) -> DataFrame:
         """Bucket-pruned point read of one token's index row (postings
@@ -672,8 +810,9 @@ class RollupMaintainer:
     def affected_conv_ids(self, epoch: int) -> DataFrame:
         return self.chain.affected_root_keys(epoch)
 
-    def apply_epoch(self, epoch: int) -> MergeResult:
-        return self.chain.apply_epoch(epoch)
+    def apply_epoch(self, epoch: int,
+                    ctx: "EpochContext | None" = None) -> MergeResult:
+        return self.chain.apply_epoch(epoch, ctx=ctx)
 
 
 # ------------------- stream-maintained LSH dedup index -------------------
@@ -840,8 +979,9 @@ class LshIndexMaintainer:
     def tables(self) -> list[MicroLakeTable]:
         return self.chain.tables
 
-    def apply_epoch(self, epoch: int) -> MergeResult:
-        return self.chain.apply_epoch(epoch)
+    def apply_epoch(self, epoch: int,
+                    ctx: "EpochContext | None" = None) -> MergeResult:
+        return self.chain.apply_epoch(epoch, ctx=ctx)
 
     def near_dup_candidates(
         self, conv_id: str, min_jaccard: float | None = 0.3,

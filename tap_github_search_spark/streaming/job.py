@@ -471,25 +471,43 @@ def stream(
             opts = {k: v for k, v in (optimize_opts or {}).items()
                     if k != "allow_rebucket"}
             table.optimize(allow_rebucket=False, **opts)
-        for maintainer in maintainers:
-            # Derived levels ride the same epoch, fenced independently.
-            # Crucially they must ALSO run when the parent skipped (crash
-            # landed between the parent commit and a derived commit →
-            # restart re-delivers the batch, parent no-ops, the
-            # not-yet-committed levels still have to catch up). A
-            # catch-up failure FAILS the batch (no swallow): the
-            # checkpoint then re-delivers and the fences retry — the
-            # chaos soak showed that swallowing leaves a level
-            # permanently behind once the checkpoint commits. The
-            # nothing-staged case (empty epoch / vacuumed old stage) is
-            # handled inside affected_root_keys, which returns an empty
-            # key frame so each level fence-advances with an empty
-            # merge.
-            behind = any(
-                t.last_committed_epoch < batch_id for t in maintainer.tables
-            )
-            if behind:
-                maintainer.apply_epoch(batch_id)
+        # Derived levels ride the same epoch, fenced independently.
+        # Crucially they must ALSO run when the parent skipped (crash
+        # landed between the parent commit and a derived commit →
+        # restart re-delivers the batch, parent no-ops, the
+        # not-yet-committed levels still have to catch up). A
+        # catch-up failure FAILS the batch (no swallow): the
+        # checkpoint then re-delivers and the fences retry — the
+        # chaos soak showed that swallowing leaves a level
+        # permanently behind once the checkpoint commits. The
+        # nothing-staged case (empty epoch / vacuumed old stage) is
+        # handled inside affected_root_keys, which returns an empty
+        # key frame so each level fence-advances with an empty
+        # merge.
+        running = [
+            m for m in maintainers
+            if any(t.last_committed_epoch < batch_id for t in m.tables)
+        ]
+        if running:
+            # One EpochContext per batch (r06, VERDICT r5 #2): the
+            # staged root keys, their bucket ids, and the main table's
+            # dirty live rows are computed and persisted ONCE and
+            # shared by every maintainer family instead of each
+            # re-scanning the (MOR-resolved) parent per level-1
+            # transform.
+            from .derived import EpochContext
+
+            behind_paths = [
+                t.path for m in running for t in m.tables
+                if t.last_committed_epoch < batch_id
+            ]
+            ctx = EpochContext(table.spark, table, batch_id,
+                               behind_paths)
+            try:
+                for maintainer in running:
+                    maintainer.apply_epoch(batch_id, ctx=ctx)
+            finally:
+                ctx.release()
         seen["n"] += 1
         if fail_after_batches is not None and seen["n"] >= fail_after_batches:
             raise RuntimeError("injected failure for resumability test")

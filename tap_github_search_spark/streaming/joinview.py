@@ -38,14 +38,17 @@ shuffle join for a genuinely large dimension.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..table.microlake import MergeResult, MicroLakeTable
-from .derived import staged_root_keys
+from .derived import (
+    EpochContext,
+    bucket_ids_of,
+    maybe_broadcast,
+    staged_root_keys,
+)
 
 #: fact column carried into the view under a new name: the view's own
 #: ``ts`` is epoch time (the WAL-order/LWW column, monotone by
@@ -117,22 +120,15 @@ class JoinViewMaintainer:
             return self.fact.snapshot_df().select(root).distinct()
         return (
             self.fact.snapshot_df()
-            # a dim is small by contract; its CHANGED key set is smaller
-            .join(F.broadcast(changed), self.join_col)
+            # the changed-dim key set is usually tiny, but a dim-wide
+            # rewrite (backfill, re-categorization) can dirty the whole
+            # dim — size-probe before broadcasting (VERDICT r5 #2)
+            .join(maybe_broadcast(changed), self.join_col)
             .select(root).distinct()
         )
 
-    def _maybe_broadcast_dim(self, dim_state: DataFrame) -> DataFrame:
-        """Broadcast the dim payload when provably small (bounded probe,
-        same guard shape as DerivedChain._maybe_broadcast)."""
-        limit = int(os.environ.get("SPARK_GRAFT_BROADCAST_KEYS",
-                                   "1000000"))
-        if limit <= 0:
-            return dim_state
-        n = dim_state.limit(limit + 1).count()
-        return F.broadcast(dim_state) if n <= limit else dim_state
-
-    def apply_epoch(self, epoch: int) -> MergeResult:
+    def apply_epoch(self, epoch: int,
+                    ctx: EpochContext | None = None) -> MergeResult:
         if epoch <= self.view.last_committed_epoch:
             return MergeResult(epoch=epoch, skipped=True)
         # re-read the dim manifest: the dimension is maintained by an
@@ -141,29 +137,46 @@ class JoinViewMaintainer:
         self.dim = MicroLakeTable.load(self.spark, self.dim.path)
         root = self.fact.keys[0]
         behind = [self.view.path]
-        aff = staged_root_keys(self.spark, self.fact, epoch, behind)
+        aff = (ctx.root_keys if ctx is not None
+               else staged_root_keys(self.spark, self.fact, epoch, behind))
 
         dv_seen = int(self.view.manifest.get("dim_version_seen", -1))
         dv_now = int(self.dim.manifest["version"])
-        if dv_now > dv_seen:
+        dim_quiet = dv_now <= dv_seen
+        pinned: list[DataFrame] = []
+        if not dim_quiet:
             if dv_seen < 0:
                 # first observation: no baseline to diff — every fact
-                # key joining ANY current dim key needs enrichment;
+                # key joining ANY current dim row needs enrichment;
                 # cheaper and equivalent on an empty view: all roots
                 dirty = self.fact.snapshot_df().select(root).distinct()
             else:
                 dirty = self._dim_dirty_fact_keys(dv_seen)
-            aff = aff.unionByName(dirty).distinct()
+            aff = aff.unionByName(dirty).distinct().persist()
+            pinned.append(aff)
+        n_aff = aff.count() if (not dim_quiet or ctx is None) else None
+        if dim_quiet and ctx is not None:
+            n_aff = ctx.n_root_keys
 
-        # recompute affected conversations against the current dim
-        live = self.fact.snapshot_df().join(
-            self._maybe_broadcast_keys(aff), root
-        )
+        # recompute affected conversations against the current dim —
+        # the fact probe joins on the fact's own bucketing key, so the
+        # read is pruned to the affected keys' buckets (r06, VERDICT
+        # r5 #1); when only the fact epoch drives the update and a
+        # shared EpochContext exists, its persisted dirty-rows frame
+        # is reused outright.
+        if dim_quiet and ctx is not None:
+            live = ctx.dirty_live
+            fact_buckets = ctx.root_buckets
+        else:
+            fact_buckets = bucket_ids_of(aff, root, self.fact.n_buckets)
+            live = self.fact.snapshot_df(buckets=fact_buckets).join(
+                maybe_broadcast(aff, n_aff), root
+            )
         dim_state = self.dim.snapshot_df().select(
             self.join_col, *self.dim_payload
         )
         joined = live.withColumnRenamed("ts", _FACT_TS_ALIAS).join(
-            self._maybe_broadcast_dim(dim_state), self.join_col, "left"
+            maybe_broadcast(dim_state), self.join_col, "left"
         )
 
         keys = list(self.view.keys)
@@ -179,10 +192,15 @@ class JoinViewMaintainer:
         payload = [f.name for f in payload_fields]
         epoch_ts = F.timestamp_seconds(F.lit(epoch))
         # view keys under affected roots that lost their fact row →
-        # delete rows (fact deletes propagate)
+        # delete rows (fact deletes propagate); the view shares the
+        # fact's bucketing key, so the same bucket prune applies when
+        # the specs agree
+        view_buckets = (fact_buckets
+                        if self.view.n_buckets == self.fact.n_buckets
+                        else bucket_ids_of(aff, root, self.view.n_buckets))
         gone = (
-            self.view.snapshot_df().select(*keys)
-            .join(self._maybe_broadcast_keys(aff), root)
+            self.view.snapshot_df(buckets=view_buckets).select(*keys)
+            .join(maybe_broadcast(aff, n_aff), root)
             .join(joined.select(*keys), keys, "left_anti")
         )
         events = joined.withColumn("ts", epoch_ts).select(
@@ -202,18 +220,14 @@ class JoinViewMaintainer:
                 epoch_ts.alias("ts"),
             ),
         )
-        return self.view.merge(
-            events, epoch=epoch,
-            extra_manifest={"dim_version_seen": dv_now},
-        )
-
-    def _maybe_broadcast_keys(self, affected: DataFrame) -> DataFrame:
-        limit = int(os.environ.get("SPARK_GRAFT_BROADCAST_KEYS",
-                                   "1000000"))
-        if limit <= 0:
-            return affected
-        n = affected.limit(limit + 1).count()
-        return F.broadcast(affected) if n <= limit else affected
+        try:
+            return self.view.merge(
+                events, epoch=epoch,
+                extra_manifest={"dim_version_seen": dv_now},
+            )
+        finally:
+            for df in pinned:
+                df.unpersist()
 
 
 def join_view_state(fact: MicroLakeTable, dim: MicroLakeTable,

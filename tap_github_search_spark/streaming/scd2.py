@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..table.microlake import MergeResult, MicroLakeTable
+from .derived import bucket_ids_of, maybe_broadcast
 
 
 def scd2_schema(dim_schema: T.StructType,
@@ -103,7 +104,10 @@ class Scd2Maintainer:
             if f.name not in (*self.dim_keys, "ts")
         ]
 
-    def apply_epoch(self, epoch: int) -> MergeResult:
+    def apply_epoch(self, epoch: int, ctx=None) -> MergeResult:
+        # ``ctx`` (EpochContext of the FACT table's epoch) is accepted
+        # for interface uniformity but unused: this maintainer is
+        # driven by the dimension's change_feed, not the fact epoch.
         if epoch <= self.hist.last_committed_epoch:
             return MergeResult(epoch=epoch, skipped=True)
         # the dim is advanced by an external writer; refresh the handle
@@ -136,12 +140,23 @@ class Scd2Maintainer:
             )
 
         # 2) close the open interval of every changed key, preserving
-        # the OLD payload values (they live in the history itself)
+        # the OLD payload values (they live in the history itself).
+        # The changed-key frame is persisted (it feeds the size probe,
+        # the bucket prune and the close join), size-probed before
+        # broadcasting (a dim-wide rewrite can dirty the whole dim —
+        # VERDICT r5 #2), and the history probe joins on the history's
+        # own bucketing key (keys[0]) so the read is pruned to the
+        # changed keys' buckets (VERDICT r5 #1).
+        changes = changes.persist()
         changed_keys = changes.select(*keys)  # distinct by construction
+        n_changed = changed_keys.count()
+        hist_buckets = bucket_ids_of(
+            changed_keys, keys[0], self.hist.n_buckets
+        )
         closing = (
-            self.hist.snapshot_df()
+            self.hist.snapshot_df(buckets=hist_buckets)
             .filter(F.col("is_current") == 1)
-            .join(F.broadcast(changed_keys), keys)
+            .join(maybe_broadcast(changed_keys, n_changed), keys)
             .select(*keys, "effective_from", *payload)
             .withColumn("effective_to", F.lit(dv_now).cast("long"))
             .withColumn("is_current", F.lit(0))
@@ -162,10 +177,13 @@ class Scd2Maintainer:
             "effective_to", "is_current",
             epoch_ts.alias("ts"),
         )
-        return self.hist.merge(
-            events, epoch=epoch,
-            extra_manifest={"dim_version_seen": dv_now},
-        )
+        try:
+            return self.hist.merge(
+                events, epoch=epoch,
+                extra_manifest={"dim_version_seen": dv_now},
+            )
+        finally:
+            changes.unpersist()
 
     def _events_schema(self) -> T.StructType:
         return T.StructType([

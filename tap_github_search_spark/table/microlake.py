@@ -342,10 +342,23 @@ class MicroLakeTable:
             .drop("_rn")
         )
 
-    def snapshot_df(self) -> DataFrame:
+    def snapshot_df(self, buckets: list[int] | set[int] | None = None
+                    ) -> DataFrame:
         """User-facing table state: live rows, payload columns only.
         Under MOR (``read_dedup`` set by a generation-appending commit)
-        the per-key winner is resolved here; CoW tables read plain."""
+        the per-key winner is resolved here; CoW tables read plain.
+
+        ``buckets``: restrict the read to these bucket ids' files
+        (``_snapshot_buckets`` — the change_feed pruning path, exposed
+        for the derived maintainers in r06: a probe that joins on the
+        table's own merge key only needs the affected keys' buckets,
+        so the files read are O(epoch), not O(table)). Old-spec files
+        of a pending migration are always included (they can hold any
+        current-spec bucket's keys). A bucket restriction is only
+        sound for consumers that subsequently filter/join on the
+        bucketing key — it is NOT a general row filter."""
+        if buckets is not None:
+            return self._snapshot_buckets(set(buckets))
         df = self.raw_df()
         if self.manifest.get("read_dedup"):
             df = self._read_lww(df)

@@ -65,14 +65,16 @@ def test_bulk_epoch_uses_shuffle_join_not_broadcast(
         plan = df._jdf.queryExecution().analyzed().toString()
         return "ResolvedHint" in plan
 
+    from tap_github_search_spark.streaming.derived import maybe_broadcast
+
     probe = table.snapshot_df().join(
-        maint.chain._maybe_broadcast(affected), "conv_id"
+        maybe_broadcast(affected), "conv_id"
     )
     assert not hinted(probe)
     # and with a generous threshold the small set IS hinted again
     monkeypatch.setenv("SPARK_GRAFT_BROADCAST_KEYS", "1000000")
     probe2 = table.snapshot_df().join(
-        maint.chain._maybe_broadcast(affected), "conv_id"
+        maybe_broadcast(affected), "conv_id"
     )
     assert hinted(probe2)
 
@@ -171,12 +173,12 @@ def test_two_level_chain_crash_between_levels(spark, tmp_dir, monkeypatch):
     real = DerivedChain._apply_level
     calls = {"n": 0}
 
-    def boom(self, i, epoch, affected):
+    def boom(self, i, epoch, affected, *a, **kw):
         if i == 1:  # the daily level
             calls["n"] += 1
             if calls["n"] == 2:  # level-1 of epoch 1 already committed
                 raise RuntimeError("injected crash between chain levels")
-        return real(self, i, epoch, affected)
+        return real(self, i, epoch, affected, *a, **kw)
 
     monkeypatch.setattr(DerivedChain, "_apply_level", boom)
     with pytest.raises(Exception, match="between chain levels"):
@@ -282,12 +284,12 @@ def test_three_level_chain_crash_between_levels_2_and_3(
     real = DerivedChain._apply_level
     calls = {"n": 0}
 
-    def boom(self, i, epoch, affected):
+    def boom(self, i, epoch, affected, *a, **kw):
         if i == 2:  # the weekly level — daily already committed
             calls["n"] += 1
             if calls["n"] == 2:
                 raise RuntimeError("injected crash between levels 2 and 3")
-        return real(self, i, epoch, affected)
+        return real(self, i, epoch, affected, *a, **kw)
 
     monkeypatch.setattr(DerivedChain, "_apply_level", boom)
     kw = dict(rollup_path=f"{tmp_dir}/rollup",
