@@ -488,6 +488,13 @@ def main(argv: list[str] | None = None) -> int:
             members[name] = MicroLakeTable.load(spark, path)
         topo = TopologySnapshot(spark, members)
         if args.at_tag:
+            # ADVICE r5 (low): --tag alongside --at-tag used to be
+            # silently ignored — refuse the ambiguous combination
+            if args.tag:
+                raise SystemExit(
+                    "--tag (pin a new cut) and --at-tag (read an "
+                    "existing one) are mutually exclusive"
+                )
             cut = topo.tables_at_tag(args.at_tag)
             out = {
                 "tag": args.at_tag,
@@ -495,19 +502,25 @@ def main(argv: list[str] | None = None) -> int:
                              for n, t in cut.items()},
             }
         else:
-            fences = topo.fences()
             if args.tag:
                 # pin first, report the pinned handles — the reported
-                # versions are exactly the tagged ones even if a writer
-                # commits between resolve and report
+                # versions/fences/cut_epoch are derived from exactly
+                # the tagged manifests even if a writer commits
+                # between resolve and report (ADVICE r5 low)
                 topo.tag(args.tag, args.epoch)
                 cut = topo.tables_at_tag(args.tag)
+                fences = {n: t.last_committed_epoch
+                          for n, t in cut.items()}
+                cut_epoch = (args.epoch if args.epoch is not None
+                             else max(fences.values()))
             else:
+                fences = topo.fences()
                 cut = topo.tables_at(args.epoch)
+                cut_epoch = (args.epoch if args.epoch is not None
+                             else min(fences.values()))
             out = {
                 "fences": fences,
-                "cut_epoch": (args.epoch if args.epoch is not None
-                              else min(fences.values())),
+                "cut_epoch": cut_epoch,
                 "versions": {n: t.manifest["version"]
                              for n, t in cut.items()},
             }

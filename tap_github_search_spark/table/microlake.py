@@ -1676,6 +1676,22 @@ class MicroLakeTable:
         ref_name = existing.get("commit_ref")
         if not ref_name:
             return False  # a main-line commit: genuine concurrent writer
+        # ADVICE r5 (high): a manifest REACHABLE FROM MAIN is never
+        # residue. publish_branch removes the branch ref but the
+        # published manifest still carries commit_ref, so the
+        # ref-is-gone test alone would let a stale-handled writer step
+        # over a just-published epoch and swing _current past it —
+        # silent data loss where the contract promises a loud
+        # ConcurrentCommitError. Only residue strictly ABOVE main's
+        # published version is safe to skip.
+        try:
+            with open(os.path.join(self.path, "_current")) as f:
+                cur = f.read().strip()
+            cur_v = int(cur[len("manifest-"):-len(".json")])
+        except (OSError, ValueError):
+            cur_v = -1
+        if version <= cur_v:
+            return False
         ref = self.list_refs().get(ref_name)
         if ref is None or ref.get("kind") != "branch":
             return True
@@ -1922,8 +1938,15 @@ class MicroLakeTable:
             return out
         for fn in sorted(os.listdir(d)):
             if fn.endswith(".json") and not fn.startswith("."):
-                with open(os.path.join(d, fn)) as f:
-                    out[fn[:-5]] = json.load(f)
+                try:
+                    with open(os.path.join(d, fn)) as f:
+                        out[fn[:-5]] = json.load(f)
+                except FileNotFoundError:
+                    # ADVICE r5 (low): a concurrent publish/drop can
+                    # remove a ref between listdir and open — a
+                    # vanished ref is simply not listed, instead of
+                    # aborting an unrelated commit/vacuum
+                    continue
         return out
 
     def create_tag(self, name: str, version: int | None = None) -> None:
@@ -1953,6 +1976,24 @@ class MicroLakeTable:
             existing = self._read_ref(name)
         except KeyError:
             pass
+        if existing is not None and existing.get("kind") == "branch":
+            # ADVICE r5 (medium): reconcile a crash between
+            # publish_branch's pointer swap and its ref removal — the
+            # branch head already IS what _current serves, so the
+            # publish completed; the leftover ref must not occupy the
+            # name forever (nor pin history as a GC root). Delete it
+            # and fall through to a fresh branch.
+            try:
+                with open(os.path.join(self.path, "_current")) as f:
+                    cur = f.read().strip()
+            except OSError:
+                cur = None
+            if existing.get("manifest") == cur:
+                try:
+                    os.remove(self._ref_file(name))
+                except FileNotFoundError:
+                    pass
+                existing = None
         if existing is not None:
             if existing.get("kind") != "branch" or not reset:
                 raise ConcurrentCommitError(f"ref already exists: {name}")
@@ -1998,6 +2039,20 @@ class MicroLakeTable:
             raise ValueError("publish_branch must run on a main handle")
         with open(os.path.join(self.path, "_current")) as f:
             cur = f.read().strip()
+        if ref["manifest"] == cur:
+            # ADVICE r5 (medium): a prior publish crashed after the
+            # pointer swap, before the ref removal — the branch head is
+            # already published (audited then). Finish the cleanup and
+            # report the published version.
+            head_v = int(ref["manifest"][len("manifest-"):-len(".json")])
+            try:
+                os.remove(self._ref_file(name))
+            except FileNotFoundError:
+                pass
+            self.manifest = MicroLakeTable.load(
+                self.spark, self.path, head_v
+            ).manifest
+            return head_v
         if ref["base"] != cur:
             raise ConcurrentCommitError(
                 f"branch {name} based on {ref['base']} but main is at "

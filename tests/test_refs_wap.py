@@ -306,3 +306,52 @@ def test_shrink_guard_vetoes_mass_delete(spark, tmp_dir):
     assert _convs(MicroLakeTable.load(spark, t.path).snapshot_df()) == {
         "c1", "c3"
     }
+
+
+def test_published_manifest_is_never_stale_residue(spark, tmp_dir):
+    """ADVICE r5 (high): a just-published branch manifest carries
+    commit_ref but its ref file is gone — a stale-handled writer
+    CAS-colliding with it must get a loud ConcurrentCommitError, NOT
+    step over it (stepping over would commit from the pre-publish base
+    and swing _current past the published epoch — silent data loss)."""
+    t = _mk(spark, tmp_dir)
+    stale = MicroLakeTable.load(spark, f"{tmp_dir}/t")  # pre-publish handle
+    br = t.branch_begin("wap-1")
+    br.merge(_events(spark, [(10, "I", "c3", 0, 20)]), epoch=1)
+    published_v = t.publish_branch("wap-1")
+    # the published manifest still records its staging branch
+    pub = MicroLakeTable.load(spark, f"{tmp_dir}/t", published_v)
+    assert pub.manifest.get("commit_ref") == "wap-1"
+    assert not t._stale_version_occupant(published_v)
+    with pytest.raises(ConcurrentCommitError):
+        stale.merge(_events(spark, [(11, "I", "cX", 0, 30)]), epoch=1)
+    # the published epoch is intact
+    assert _convs(MicroLakeTable.load(spark, f"{tmp_dir}/t")
+                  .snapshot_df()) == {"c1", "c2", "c3"}
+
+
+def test_publish_crash_between_swap_and_ref_removal_reconciles(
+        spark, tmp_dir):
+    """ADVICE r5 (medium): a crash after _publish_pointer but before
+    the ref file removal leaves a live branch whose head == _current.
+    Both branch_begin (without reset) and publish_branch must treat it
+    as already published instead of occupying the name forever."""
+    t = _mk(spark, tmp_dir)
+    br = t.branch_begin("wap-2")
+    br.merge(_events(spark, [(10, "I", "c3", 0, 20)]), epoch=1)
+    ref = t._read_ref("wap-2")
+    head_v = t.publish_branch("wap-2")
+    # simulate the crash: re-create the ref exactly as it was
+    ref["manifest"] = f"manifest-{head_v:08d}.json"
+    t._write_ref("wap-2", ref)
+    # publish_branch reconciles: reports the published version, ref gone
+    t2 = MicroLakeTable.load(spark, f"{tmp_dir}/t")
+    assert t2.publish_branch("wap-2") == head_v
+    assert "wap-2" not in t2.list_refs()
+    # same leftover, reconciled through branch_begin (no reset needed)
+    t2._write_ref("wap-2", ref)
+    br2 = t2.branch_begin("wap-2")  # would raise 'ref already exists'
+    br2.merge(_events(spark, [(11, "I", "c4", 0, 21)]), epoch=2)
+    assert t2.publish_branch("wap-2") > head_v
+    assert _convs(MicroLakeTable.load(spark, f"{tmp_dir}/t")
+                  .snapshot_df()) == {"c1", "c2", "c3", "c4"}
