@@ -310,13 +310,30 @@ def bucket_ids_of(keys_df: DataFrame, key: str,
     O(table) (VERDICT r5 #1). Returns None (= no pruning) when every
     bucket is affected or pruning is disabled
     (``SPARK_GRAFT_BUCKET_PRUNE=0``)."""
-    if os.environ.get("SPARK_GRAFT_BUCKET_PRUNE", "1") == "0":
-        return None
-    rows = keys_df.select(
-        F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("_b")
-    ).distinct().collect()
-    ids = sorted({int(r["_b"]) for r in rows if r["_b"] is not None})
-    return None if len(ids) >= n_buckets else ids
+    return count_and_buckets(keys_df, key, n_buckets)[1]
+
+
+def count_and_buckets(keys_df: DataFrame, key: str, n_buckets: int
+                      ) -> tuple[int, list[int] | None]:
+    """Row count AND distinct bucket ids of a key frame in ONE tiny
+    aggregate job (r06: the count feeds the broadcast-size probe, the
+    ids feed the bucket prune — separately they were two jobs per
+    level per epoch, and job-count is the dominant fixed cost of a
+    sparse epoch). ``collect_set`` state is bounded by n_buckets.
+    Also materializes a persisted frame as a side effect (it is the
+    first action on it)."""
+    prune = os.environ.get("SPARK_GRAFT_BUCKET_PRUNE", "1") != "0"
+    row = keys_df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.collect_set(
+            F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+        ).alias("_bs"),
+    ).first()
+    n = int(row["_n"])
+    if not prune:
+        return n, None
+    ids = sorted(int(b) for b in row["_bs"])
+    return n, (None if len(ids) >= n_buckets else ids)
 
 
 class EpochContext:
@@ -347,7 +364,12 @@ class EpochContext:
             self._root = staged_root_keys(
                 self.spark, self.main, self.epoch, self._behind
             ).persist()
-            self._n_root = self._root.count()
+            # one fused job: materializes the persisted frame, counts
+            # it, and derives its bucket ids
+            self._n_root, self._buckets = count_and_buckets(
+                self._root, self.main.keys[0], self.main.n_buckets
+            )
+            self._buckets_set = True
         return self._root
 
     @property
@@ -357,11 +379,7 @@ class EpochContext:
 
     @property
     def root_buckets(self) -> list[int] | None:
-        if not self._buckets_set:
-            self._buckets = bucket_ids_of(
-                self.root_keys, self.main.keys[0], self.main.n_buckets
-            )
-            self._buckets_set = True
+        _ = self.root_keys
         return self._buckets
 
     @property
@@ -455,17 +473,17 @@ class DerivedChain:
 
     def _affected_keys(self, parent: MicroLakeTable, parent_key: str,
                        spec: LevelSpec, affected_parent: DataFrame,
-                       n_parent: int | None, epoch: int) -> DataFrame:
+                       n_parent: int | None, pb: list[int] | None,
+                       epoch: int) -> DataFrame:
         """This level's keys the epoch may change: the affected parent
         rows' keys in the parent's CURRENT snapshot plus their keys in
         the parent's last pre-epoch snapshot (time travel) — a parent
         row whose derived key moved dirties both its old and new
         group. Both probe joins are on ``parent_key`` — the parent's
         own bucketing key — so the parent reads are bucket-pruned to
-        the affected keys' buckets (r06, VERDICT r5 #1: these were
-        full-table scans per level per epoch)."""
+        ``pb``, the affected keys' buckets (r06, VERDICT r5 #1: these
+        were full-table scans per level per epoch)."""
         aff = maybe_broadcast(affected_parent, n_parent)
-        pb = bucket_ids_of(affected_parent, parent_key, parent.n_buckets)
         cur = self._attach_key(
             parent.snapshot_df(buckets=pb).join(aff, parent_key), spec
         ).select(spec.key)
@@ -504,14 +522,16 @@ class DerivedChain:
             if ctx is not None:
                 affected = ctx.root_keys
                 n_aff = ctx.n_root_keys
-                root_buckets = ctx.root_buckets
+                buckets = ctx.root_buckets
+                buckets_nb = self.main.n_buckets
             else:
                 affected = self.affected_root_keys(epoch).persist()
                 pinned.append(affected)
-                n_aff = affected.count()
-                root_buckets = bucket_ids_of(
+                # one fused job: materialize + count + bucket ids
+                n_aff, buckets = count_and_buckets(
                     affected, self.main.keys[0], self.main.n_buckets
                 )
+                buckets_nb = self.main.n_buckets
             dirty_live = ctx.dirty_live if ctx is not None else None
             first: MergeResult | None = None
             parent: MicroLakeTable = self.main
@@ -519,15 +539,25 @@ class DerivedChain:
             for i, (spec, table) in enumerate(
                     zip(self.specs, self.tables)):
                 if spec.key_expr is not None:
+                    # the stored bucket ids prune the parent probe only
+                    # when the parent's spec matches the modulus they
+                    # were computed under (one extra tiny job otherwise)
+                    pb = (buckets if buckets_nb == parent.n_buckets
+                          else bucket_ids_of(affected, parent_key,
+                                             parent.n_buckets))
                     affected = self._affected_keys(
-                        parent, parent_key, spec, affected, n_aff, epoch
+                        parent, parent_key, spec, affected, n_aff, pb,
+                        epoch
                     ).persist()
                     pinned.append(affected)
-                    n_aff = affected.count()
+                    n_aff, buckets = count_and_buckets(
+                        affected, spec.key, table.n_buckets
+                    )
+                    buckets_nb = table.n_buckets
                     dirty_live = None
                 res = self._apply_level(
                     i, epoch, affected, n_aff,
-                    buckets=root_buckets if i == 0 else None,
+                    buckets=buckets if i == 0 else None,
                     pre_joined=dirty_live if i == 0 else None,
                 )
                 dirty_live = None

@@ -46,6 +46,7 @@ from ..table.microlake import MergeResult, MicroLakeTable
 from .derived import (
     EpochContext,
     bucket_ids_of,
+    count_and_buckets,
     maybe_broadcast,
     staged_root_keys,
 )
@@ -154,9 +155,6 @@ class JoinViewMaintainer:
                 dirty = self._dim_dirty_fact_keys(dv_seen)
             aff = aff.unionByName(dirty).distinct().persist()
             pinned.append(aff)
-        n_aff = aff.count() if (not dim_quiet or ctx is None) else None
-        if dim_quiet and ctx is not None:
-            n_aff = ctx.n_root_keys
 
         # recompute affected conversations against the current dim —
         # the fact probe joins on the fact's own bucketing key, so the
@@ -166,9 +164,12 @@ class JoinViewMaintainer:
         # is reused outright.
         if dim_quiet and ctx is not None:
             live = ctx.dirty_live
+            n_aff = ctx.n_root_keys
             fact_buckets = ctx.root_buckets
         else:
-            fact_buckets = bucket_ids_of(aff, root, self.fact.n_buckets)
+            n_aff, fact_buckets = count_and_buckets(
+                aff, root, self.fact.n_buckets
+            )
             live = self.fact.snapshot_df(buckets=fact_buckets).join(
                 maybe_broadcast(aff, n_aff), root
             )

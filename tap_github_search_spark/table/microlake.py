@@ -51,7 +51,7 @@ from pyspark.sql import types as T
 from ..operators.dedup import lww_winners_salted, lww_winners_window
 from ..schema import LWW_ORDER, MERGE_KEYS
 
-META_COLS = ("_seq", "_deleted", "_bucket")
+META_COLS = ("_seq", "_deleted", "_bucket", "_del1")
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -691,6 +691,14 @@ class MicroLakeTable:
             ],
             F.col("seq").alias("_seq"),
             (F.col("op") == "D").alias("_deleted"),
+            # r06: NULL-unless-deleted marker — the parquet footer's
+            # null_count then equals the file's LIVE row count, which
+            # (with the _seq zone) lets commit derive the per-bucket
+            # lineage from the footer stats it already reads, instead
+            # of a second Spark scan of the staged files (one job per
+            # merge — the dominant fixed cost of small derived-level
+            # epochs). Never part of the logical schema (META_COLS).
+            F.when(F.col("op") == "D", F.lit(1)).alias("_del1"),
         ).withColumn("_bucket", self._bucket_expr(self.keys[0]))
 
         # writer-unique dirname: a losing concurrent writer must never
@@ -726,20 +734,45 @@ class MicroLakeTable:
                 .parquet(os.path.join(quarantine_dir, f"epoch={epoch}"))
             )
 
-        # 2. Per-bucket lineage from the staged files: a column-pruned
-        #    parquet scan (seq/_deleted/_bucket), ≤ n_buckets result rows.
-        lin_rows = [] if not staged_files else [
-            r.asDict()
-            for r in self.spark.read.parquet(stage_dir)
-            .groupBy("_bucket")
-            .agg(
-                F.min("_seq").alias("seq_min"),
-                F.max("_seq").alias("seq_max"),
-                F.count(F.when(~F.col("_deleted"), 1)).alias("rows_applied"),
-                F.count(F.when(F.col("_deleted"), 1)).alias("rows_deleted"),
-            )
-            .collect()
-        ]
+        # 2. Per-bucket lineage. Fast path (r06): every staged file's
+        #    footer already yields rows, a _seq zone and (via the
+        #    _del1 null-count trick) its live-row count — so the
+        #    per-bucket aggregate is driver arithmetic over the stats
+        #    _list_epoch_files collected, no second Spark scan. Files
+        #    missing any stat (stats disabled, exotic writer) fall
+        #    back to the original column-pruned scan.
+        lin_rows: list[dict] = []
+        if staged_files and all(
+            "seq_min" in f and "live_rows" in f and "rows" in f
+            for f in staged_files
+        ):
+            per_bucket: dict[int, dict] = {}
+            for f in staged_files:
+                b = per_bucket.setdefault(f["bucket"], {
+                    "_bucket": f["bucket"],
+                    "seq_min": f["seq_min"], "seq_max": f["seq_max"],
+                    "rows_applied": 0, "rows_deleted": 0,
+                })
+                b["seq_min"] = min(b["seq_min"], f["seq_min"])
+                b["seq_max"] = max(b["seq_max"], f["seq_max"])
+                b["rows_applied"] += int(f["live_rows"])
+                b["rows_deleted"] += int(f["rows"]) - int(f["live_rows"])
+            lin_rows = [per_bucket[b] for b in sorted(per_bucket)]
+        elif staged_files:
+            lin_rows = [
+                r.asDict()
+                for r in self.spark.read.parquet(stage_dir)
+                .groupBy("_bucket")
+                .agg(
+                    F.min("_seq").alias("seq_min"),
+                    F.max("_seq").alias("seq_max"),
+                    F.count(F.when(~F.col("_deleted"), 1))
+                    .alias("rows_applied"),
+                    F.count(F.when(F.col("_deleted"), 1))
+                    .alias("rows_deleted"),
+                )
+                .collect()
+            ]
         affected = sorted(int(r["_bucket"]) for r in lin_rows)
 
         # 3. Rewrite only buckets overlapping existing data (CoW), or
@@ -1501,6 +1534,28 @@ class MicroLakeTable:
                 # datetime → ISO strings, JSON-stable and ordered
                 out["ts_min"] = tz[0].isoformat()
                 out["ts_max"] = tz[1].isoformat()
+            sz = _zone(md, "_seq")
+            if sz is not None:
+                out["seq_min"], out["seq_max"] = int(sz[0]), int(sz[1])
+            # live rows via the _del1 null-count trick (see merge):
+            # _del1 is NULL exactly on live rows, so summing the
+            # column's null_count over row groups counts them — which
+            # turns commit-time lineage into pure footer arithmetic
+            didx = next(
+                (i for i in range(md.num_columns)
+                 if md.schema.column(i).name == "_del1"), None
+            )
+            if didx is not None:
+                live = 0
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(didx).statistics
+                    if st is None or st.null_count is None:
+                        ok = False
+                        break
+                    live += int(st.null_count)
+                if ok:
+                    out["live_rows"] = live
         except (OSError, ImportError, AttributeError):
             pass
         return out

@@ -206,3 +206,41 @@ def test_dim_wide_churn_falls_back_to_shuffle(spark, tmp_dir,
     plan = (fact.snapshot_df().join(maybe_broadcast(changed), "tool")
             ._jdf.queryExecution().analyzed().toString())
     assert "ResolvedHint" not in plan
+
+
+def test_lineage_footer_fast_path_matches_scan(spark, tmp_dir):
+    """r06: per-bucket lineage is derived from the staged files'
+    parquet footers (the _del1 null-count trick + _seq zones) instead
+    of a second Spark scan — the values must be identical to the scan,
+    deletes included."""
+    rows = [(i, "I", f"c{i % 7}", i // 7, 10 + i) for i in range(21)]
+    rows += [(100, "D", "c0", 0, 200), (101, "U", "c1", 0, 201)]
+    _events(spark, [(s, op, c, ti, ts_, f"t{s}", None)
+                    for s, op, c, ti, ts_ in rows]) \
+        .write.mode("overwrite").parquet(f"{tmp_dir}/log0")
+    table, results = replay(spark, [f"{tmp_dir}/log0"], f"{tmp_dir}/t",
+                            n_buckets=4)
+    staged = [f for f in table.manifest["files"]]
+    assert all("live_rows" in f and "seq_min" in f for f in staged)
+    lin = {r["partition_id"]: r for r in results[0].lineage}
+    data = os.path.join(table.path, "data")
+    dirs = [os.path.join(data, d) for d in os.listdir(data)
+            if d.startswith("epoch=0-")]
+    chk = (
+        spark.read.option("basePath", data).parquet(*dirs)
+        .groupBy("_bucket").agg(
+            F.min("_seq").alias("seq_min"),
+            F.max("_seq").alias("seq_max"),
+            F.count(F.when(~F.col("_deleted"), 1)).alias("rows_applied"),
+            F.count(F.when(F.col("_deleted"), 1)).alias("rows_deleted"),
+        ).collect()
+    )
+    assert len(chk) == len(lin) > 0
+    for r in chk:
+        entry = lin[int(r["_bucket"])]
+        assert (entry["seq_min"], entry["seq_max"],
+                entry["rows_applied"], entry["rows_deleted"]) == (
+            r["seq_min"], r["seq_max"],
+            r["rows_applied"], r["rows_deleted"])
+    # tombstones counted: c0 was deleted
+    assert sum(e["rows_deleted"] for e in lin.values()) == 1
