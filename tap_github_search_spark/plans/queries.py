@@ -692,18 +692,21 @@ LATERAL (
 def q_cdc_bookmark_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bookmark-based incremental pruning (I1/I7/J3): count mutation
     events strictly newer than each conversation's bookmark (= max insert
-    ts). The bookmark frame is broadcast — correct at the reference's
-    bookmark cardinality (one per search/org, 10²-10⁴ entries, a small
-    state dict). If bookmarks were tracked per conversation at 10^8+
-    keys, drop the hint: both sides hash-partition on conv_id and the
-    join becomes a co-partitioned shuffle join instead."""
+    ts). The bookmark frame is PER-CONVERSATION — one row per key, not
+    the reference's small per-search state dict — so it is NOT
+    broadcast (r06, measured: collecting + rebroadcasting + building a
+    300k-entry hash table on every task cost 2× a co-partitioned
+    shuffle join at sf1.0, and at 10^8+ keys the hint would OOM the
+    driver outright). Both sides hash-partition on conv_id; the
+    bookmark aggregate's partial combine keeps its shuffle tiny, and
+    the final count reuses the join's partitioning."""
     log = _log(spark, sf_dir)
     bk = log.filter(F.col("op") == "I").groupBy("conv_id").agg(
         F.max("ts").alias("bookmark_ts")
     )
     return (
         log.filter(F.col("op") != "I")
-        .join(F.broadcast(bk), "conv_id")
+        .join(bk, "conv_id")
         .filter(F.col("ts") > F.col("bookmark_ts"))
         .groupBy("conv_id")
         .agg(F.count("*").alias("n_new_events"))
@@ -2105,44 +2108,41 @@ REGISTRY.update({
 # (tests/test_oracle_parity.py runs ALL of them); they are rows the
 # driver already recorded green in r02/r03.
 _DRIVER_PRIORITY = [
-    # -- CDC headline path (the engine's core loop)
+    # -- CDC headline path (the engine's core loop) — every round
     "cdc_replay_transcripts", "conv_transcript", "cdc_op_stats",
     "cdc_lineage", "cdc_change_feed", "conv_sessions", "cdc_conv_rollup",
     "cdc_month_fanout", "cdc_bookmark_antijoin", "cdc_replica_roundtrip",
-    # -- r5 rotation (VERDICT r4 "Next round" #1): the 24 entries whose
-    # last driver row is r2/r3 — tpch_pricing / tpch_local_supplier had
-    # their oracle SQL rewritten in a651f41 with no driver row since r2,
-    # so re-verification of this block is the round's highest-leverage
-    # correctness evidence. The r3/r4-new traindata block rotates OUT
-    # (driver-green r4) to the tail, still covered by the local
-    # driver-identical parity gate.
-    "conv_transcript_pandas", "tpch_pricing", "tpch_local_supplier",
-    "cdc_replay_salted", "cdc_replay_ord", "explode_props_map",
-    "flatten_props", "extract_source_key", "docs_token_stats",
-    "docs_ngram_jaccard_pairs", "docs_simhash", "docs_rolling_hash",
-    "docs_bpe_tokens", "mm_byte_features", "emb_near_dup_pairs",
-    "emb_dim_stats", "set_ops_keys", "conv_turn_gaps",
-    "docs_length_quantiles", "pivot_field_values",
-    "nested_two_level_unnest", "nested_count_hoist",
-    "docs_oversize_guard", "text_extract_metrics",
-    # -- entries modified this round (rounding idiom / CC rewrite):
-    # re-verify under the driver even though r4-green
-    "topk_events", "emb_cosine_topk", "docs_dedup_clusters",
-    "emb_ivf_ann",
-    # -- new r5 entries: never driver-checked
-    "emb_ivf_ann_multiprobe", "emb_dedup_clusters", "cdc_join_view",
-    "cdc_scd2_turn_history", "cdc_expectation_stats",
-    "cdc_topology_cut", "cdc_wap_replay",
-    # -- retained previously-green coverage rows (agg_monthly_counts
-    # and search_counts rotated to the tail to keep the prefix at 50:
-    # both r4-green, unchanged, still under the local parity gate)
-    "events_hypertable_rollup", "docs_inverted_index",
-    "docs_contamination", "docs_curation_pipeline",
-    "conv_lsh_bands",
+    # -- r6 rotation (VERDICT r5 "Next round" #7 alternation): the 31
+    # entries whose last driver row is r4 — they rotated out of the r5
+    # prefix by design and must not go a second round without a driver
+    # row (test_no_registry_entry_strands_two_rounds enforces the
+    # invariant against the in-repo CORRECTNESS_r05.json).
+    "agg_monthly_counts", "agg_user_counts", "conv_context_budget",
+    "conv_quality", "conv_tool_stats", "conv_training_examples",
+    "docs_balanced_sample", "docs_bigram_pmi", "docs_chunk_tokens",
+    "docs_exact_dedup", "docs_fingerprint", "docs_lang_id",
+    "docs_minhash_lsh_pairs", "docs_pack_sequences", "docs_quality",
+    "docs_split_assign", "docs_tfidf_topterms", "docs_token_df",
+    "docs_vocab_topk", "emb_lsh_ann", "emb_quantize_int8",
+    "events_asof_join", "events_range_join", "events_retention",
+    "events_rollup_sets", "events_running_stats", "events_sessionize",
+    "join_enrich_orders", "mm_thumbnails", "rename_reserved",
+    "search_counts",
+    # -- entries whose implementation changed in the r6 optimization
+    # round (Arrow normalize is catalog-wide; these additionally had
+    # their plans restructured: hoisted norms, pruned LWW payloads,
+    # de-hinted bookmark join): re-verify under the driver even though
+    # r5-green
+    "emb_cosine_topk", "cdc_join_view", "conv_turn_gaps",
+    "conv_transcript_pandas",
+    # -- merge/normalize-family re-verification (the same r6 changes
+    # ride the replay and WAP paths)
+    "cdc_replay_salted", "cdc_replay_ord", "cdc_scd2_turn_history",
+    "cdc_wap_replay", "cdc_expectation_stats",
 ]
-# emb_lsh_ann / docs_exact_dedup / join_enrich_orders rotated to the
-# tail for the new CDC slots (scd2 / expectation_stats / wap_replay):
-# all r4 driver-green, unchanged since, still under the local
+# The r5-green block (tpch_*, docs_token_stats, nested_*, emb_ivf_*,
+# cdc_topology_cut, conv_lsh_bands, topk_events, ...) rotates to the
+# tail: all r5 driver-green, unchanged or re-proven by the local
 # driver-identical parity gate.
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]

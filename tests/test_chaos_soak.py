@@ -78,11 +78,11 @@ def test_chaos_soak_composed_topology(spark, tmp_dir, monkeypatch):
             raise RuntimeError("chaos: crash AFTER merge commit")
         return res
 
-    def chaos_level(self, i, epoch, affected):
+    def chaos_level(self, i, epoch, affected, *a, **kw):
         if chaos["on"] and rng.random() < 0.10:
             chaos["crashes"] += 1
             raise RuntimeError(f"chaos: crash entering level {i}")
-        return real_level(self, i, epoch, affected)
+        return real_level(self, i, epoch, affected, *a, **kw)
 
     monkeypatch.setattr(MicroLakeTable, "merge", chaos_merge)
     monkeypatch.setattr(DerivedChain, "_apply_level", chaos_level)

@@ -109,13 +109,11 @@ def test_registry_nonempty():
 
 def test_driver_prefix_samples_priority_ops():
     """The round driver checks the first 50 registry entries (stable
-    insertion-order prefix, observed r1-r4). Guard the r5 curation
-    (VERDICT r4 'Next round' #1): the prefix carries the CDC headline
-    path, the 24 entries whose last driver row was r2/r3 (rotated back
-    in for re-verification — tpch_pricing / tpch_local_supplier had
-    their oracles rewritten with no driver row since), every entry
-    MODIFIED this round (rounding idiom, CC rewrite), and every
-    never-driver-checked NEW entry."""
+    insertion-order prefix, observed r1-r5). Guard the r6 rotation
+    (VERDICT r5 'Next round' #7): the prefix carries the CDC headline
+    path, the 31 entries whose last driver row was r4 (rotated back in
+    per the planned alternation), and the entries whose implementation
+    changed in the r6 optimization round."""
     from tap_github_search_spark.plans.queries import _DRIVER_PRIORITY
 
     names = list(REGISTRY)
@@ -124,18 +122,37 @@ def test_driver_prefix_samples_priority_ops():
     must_sample = {
         # CDC headline
         "cdc_replay_transcripts", "cdc_change_feed",
-        "cdc_replica_roundtrip",
-        # stale-oracle re-verification block (r2/r3-last)
-        "tpch_pricing", "tpch_local_supplier", "conv_transcript_pandas",
-        "cdc_replay_salted", "docs_token_stats", "docs_length_quantiles",
-        "docs_ngram_jaccard_pairs", "emb_near_dup_pairs", "set_ops_keys",
-        "nested_two_level_unnest", "docs_oversize_guard",
-        # modified this round
-        "topk_events", "emb_cosine_topk", "docs_dedup_clusters",
-        "emb_ivf_ann",
-        # new r5 (never driver-checked)
-        "emb_ivf_ann_multiprobe", "emb_dedup_clusters",
-        "cdc_join_view", "cdc_scd2_turn_history", "cdc_expectation_stats",
-        "cdc_topology_cut", "cdc_wap_replay",
+        "cdc_replica_roundtrip", "cdc_conv_rollup",
+        "cdc_bookmark_antijoin",
+        # r4-last rotation block (sample)
+        "agg_monthly_counts", "join_enrich_orders", "docs_fingerprint",
+        "docs_exact_dedup", "search_counts", "events_asof_join",
+        "emb_lsh_ann", "mm_thumbnails", "rename_reserved",
+        # modified in the r6 optimization round
+        "emb_cosine_topk", "cdc_join_view", "conv_turn_gaps",
+        "conv_transcript_pandas", "cdc_replay_salted", "cdc_replay_ord",
     }
     assert must_sample <= set(names[:50])
+
+
+def test_no_registry_entry_strands_two_rounds():
+    """VERDICT r5 'Next round' #7: the driver samples the first-50
+    prefix each round, so every registry entry must have a driver row
+    within the last two rounds — i.e. current prefix ∪ the previous
+    round's CORRECTNESS keys must cover the registry. Red if a future
+    reorder strands an entry beyond one round."""
+    import json
+
+    from tap_github_search_spark.plans.queries import _DRIVER_PRIORITY
+
+    with open("/root/repo/CORRECTNESS_r05.json") as f:
+        prev_green = {
+            k for k, v in json.load(f).items()
+            if v.get("rows_match") and v.get("hash_match")
+        }
+    covered = set(_DRIVER_PRIORITY) | prev_green
+    stranded = set(REGISTRY) - covered
+    assert not stranded, (
+        f"registry entries with no driver row in 2 rounds: "
+        f"{sorted(stranded)}"
+    )

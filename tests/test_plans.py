@@ -31,12 +31,18 @@ def plan_of(df, mode: str = "formatted") -> str:
     )
 
 
-def test_bookmark_join_is_broadcast(spark):
+def test_bookmark_join_is_scale_safe(spark):
+    """r06: the bookmark frame is one row per CONVERSATION, so it must
+    not carry a forced broadcast hint (at 10^8+ keys the hint OOMs the
+    driver; at sf1.0 the collect+rebroadcast already cost 2x a
+    co-partitioned shuffle join). AQE may still choose a broadcast
+    join at runtime from actual sizes - that is the size-aware
+    decision the plan defers to."""
     ensure_changelog(spark, 0.01)
     fn, _ = REGISTRY["cdc_bookmark_antijoin"]
-    plan = plan_of(fn(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    df = fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
 
 
 def test_dim_joins_are_broadcast(spark):
